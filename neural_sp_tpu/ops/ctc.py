@@ -1,0 +1,205 @@
+"""CTC loss + forced alignment as XLA-friendly log-space scans.
+
+TPU-native replacement for the reference's external native kernels
+(warp-ctc / torch ``nn.CTCLoss``, wired at ``neural_sp/models/seq2seq/decoders/ctc.py:93-150``,
+and ``CTCForcedAligner`` at ctc.py:628-753).
+
+Design (SURVEY.md §7 "Losses as kernels"):
+  * extended label sequence z of length S = 2U+1 with blanks interleaved;
+  * alpha recurrence as a single ``lax.scan`` over time with vectorized
+    shift-by-1 / shift-by-2 transitions over the S axis (VPU-friendly, no
+    per-label Python loops);
+  * frames beyond each utterance's length freeze the carry, so one static
+    T_max compilation serves all lengths in the batch;
+  * gradients flow by autodiff through the scan (checkpointed); a fused
+    Pallas alpha-beta kernel can swap in behind the same signature.
+
+Conventions: blank id = 0 framework-wide; log_probs are log-softmax outputs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -1.0e30
+
+
+def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """[B, U] -> [B, 2U+1] blank-interleaved extended labels."""
+    bs, u = labels.shape
+    z = jnp.full((bs, 2 * u + 1), blank, dtype=labels.dtype)
+    z = z.at[:, 1::2].set(labels)
+    return z
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, NEG_INF)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe))
+    return jnp.where(m <= NEG_INF, NEG_INF, out)
+
+
+def _shift_right(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Shift along last axis, filling with NEG_INF: out[..., s] = x[..., s-n]."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(n, 0)]
+    return jnp.pad(x, pad, constant_values=NEG_INF)[..., : x.shape[-1]]
+
+
+@partial(jax.jit, static_argnames=("blank",))
+def ctc_forward_alphas(log_probs, labels, logit_lengths, label_lengths, blank=0):
+    """Run the CTC alpha recurrence.
+
+    Args:
+      log_probs: [B, T, V] log-softmax outputs (f32).
+      labels: [B, U] int32, padded arbitrarily past label_lengths.
+      logit_lengths: [B] int32, label_lengths: [B] int32.
+    Returns:
+      (per_utt_neg_log_like [B] f32, alphas [T, B, S] f32)
+    """
+    log_probs = log_probs.astype(jnp.float32)
+    bs, tmax, _ = log_probs.shape
+    z = _extend_labels(labels.astype(jnp.int32), blank)  # [B, S]
+    s = z.shape[1]
+
+    # allow skip from s-2: z[s] != blank and z[s] != z[s-2]
+    z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    allow_skip = (z != blank) & (z != z_m2)  # [B, S]
+
+    alpha0 = jnp.full((bs, s), NEG_INF, jnp.float32)
+    emit0 = jnp.take_along_axis(log_probs[:, 0], z, axis=1)
+    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(s > 1, emit0[:, 1], NEG_INF))
+
+    t_idx = jnp.arange(1, tmax, dtype=jnp.int32)
+
+    def step(alpha, xt):
+        t, logp_t = xt
+        emit = jnp.take_along_axis(logp_t, z, axis=1)  # [B, S]
+        a1 = _shift_right(alpha, 1)
+        a2 = jnp.where(allow_skip, _shift_right(alpha, 2), NEG_INF)
+        new = _logaddexp3(alpha, a1, a2) + emit
+        new = jnp.maximum(new, NEG_INF)
+        valid = (t < logit_lengths)[:, None]
+        new = jnp.where(valid, new, alpha)
+        return new, alpha
+
+    alpha_last, alphas_hist = lax.scan(
+        step, alpha0, (t_idx, jnp.swapaxes(log_probs[:, 1:], 0, 1)))
+    alphas = jnp.concatenate(
+        [alphas_hist, alpha_last[None]], axis=0)  # [T, B, S]
+
+    end = 2 * label_lengths.astype(jnp.int32)  # index of final non-blank+1 pos
+    a_end = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
+    a_end1 = jnp.take_along_axis(
+        alpha_last, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    a_end1 = jnp.where(label_lengths > 0, a_end1, NEG_INF)
+    nll = -jnp.logaddexp(a_end, a_end1)
+    return nll, alphas
+
+
+def ctc_loss(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+    zero_infinity: bool = True,
+    reduction: str = "sum_over_batch",
+) -> jnp.ndarray:
+    """CTC negative log-likelihood.
+
+    Matches torch ``nn.CTCLoss(zero_infinity=True)`` semantics used by the
+    reference (ctc.py:97-101): per-utterance sum, averaged over batch by the
+    caller-visible reduction. Infeasible alignments (2U+1 > T) yield 0 loss
+    when ``zero_infinity``.
+    """
+    nll, _ = ctc_forward_alphas(
+        log_probs, labels, logit_lengths, label_lengths, blank=blank)
+    if zero_infinity:
+        feasible = (2 * label_lengths + 1 <= logit_lengths) & (label_lengths > 0)
+        nll = jnp.where(feasible, nll, 0.0)
+        nll = jnp.where(nll >= -NEG_INF / 2, 0.0, nll)
+    if reduction == "none":
+        return nll
+    if reduction == "mean":
+        return jnp.mean(nll)
+    return jnp.sum(nll) / log_probs.shape[0]
+
+
+@partial(jax.jit, static_argnames=("blank",))
+def ctc_forced_align(log_probs, labels, logit_lengths, label_lengths, blank=0):
+    """Viterbi forced alignment over the CTC lattice.
+
+    Replaces ``CTCForcedAligner`` (reference ctc.py:628-753) with a
+    forward max-product scan storing backpointers, then a reverse scan
+    backtrace — both static-shape.
+
+    Returns:
+      trigger_points: [B, U] int32 frame index at which token u is emitted
+        (0-padded past label_lengths);
+      best_paths: [B, T] int32 label id per frame (blank included).
+    """
+    log_probs = log_probs.astype(jnp.float32)
+    bs, tmax, _ = log_probs.shape
+    z = _extend_labels(labels.astype(jnp.int32), blank)
+    s = z.shape[1]
+    z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    allow_skip = (z != blank) & (z != z_m2)
+
+    alpha0 = jnp.full((bs, s), NEG_INF, jnp.float32)
+    emit0 = jnp.take_along_axis(log_probs[:, 0], z, axis=1)
+    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(emit0[:, 1])
+
+    def step(alpha, xt):
+        t, logp_t = xt
+        emit = jnp.take_along_axis(logp_t, z, axis=1)
+        a0, a1 = alpha, _shift_right(alpha, 1)
+        a2 = jnp.where(allow_skip, _shift_right(alpha, 2), NEG_INF)
+        stacked = jnp.stack([a0, a1, a2], axis=0)  # [3, B, S]
+        bp = jnp.argmax(stacked, axis=0).astype(jnp.int32)  # [B, S]
+        best = jnp.max(stacked, axis=0) + emit
+        valid = (t < logit_lengths)[:, None]
+        new = jnp.where(valid, best, alpha)
+        bp = jnp.where(valid, bp, 0)
+        return new, bp
+
+    t_idx = jnp.arange(1, tmax, dtype=jnp.int32)
+    alpha_last, bps = lax.scan(
+        step, alpha0, (t_idx, jnp.swapaxes(log_probs[:, 1:], 0, 1)))
+    # bps: [T-1, B, S]; bps[t] maps state at time t+1 -> offset at time t.
+
+    end = 2 * label_lengths.astype(jnp.int32)
+    a_end = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
+    a_end1 = jnp.take_along_axis(
+        alpha_last, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    s_final = jnp.where(a_end >= a_end1, end, jnp.maximum(end - 1, 0))
+
+    def back(s_cur, xt):
+        t, bp_t = xt  # t runs T-2 .. 0; bp_t: [B, S] for transition t -> t+1
+        off = jnp.take_along_axis(bp_t, s_cur[:, None], axis=1)[:, 0]
+        s_prev = s_cur - off
+        # only move while within the utterance (t+1 < length)
+        s_prev = jnp.where(t + 1 < logit_lengths, s_prev, s_cur)
+        return s_prev, s_cur
+
+    s0, s_hist = lax.scan(
+        back, s_final, (t_idx - 1, bps), reverse=True)
+    states = jnp.concatenate([s0[:, None], jnp.swapaxes(s_hist, 0, 1)],
+                             axis=1)  # [B, T]
+    best_paths = jnp.take_along_axis(z, states, axis=1)
+
+    # trigger point of token u = first frame where state == 2u+1
+    u_states = 2 * jnp.arange(labels.shape[1], dtype=jnp.int32)[None, :, None] + 1
+    hits = states[:, None, :] == u_states  # [B, U, T]
+    frame_ids = lax.broadcasted_iota(jnp.int32, hits.shape, 2)
+    trigger_points = jnp.min(
+        jnp.where(hits, frame_ids, tmax), axis=2)
+    trigger_points = jnp.where(
+        jnp.arange(labels.shape[1])[None] < label_lengths[:, None],
+        trigger_points, 0).astype(jnp.int32)
+    return trigger_points, best_paths
