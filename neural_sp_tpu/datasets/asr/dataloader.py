@@ -1,0 +1,144 @@
+"""ASR dataloader: bucketing iterator + padded collate + thread prefetch.
+
+Replaces the reference torch DataLoader stack
+(``neural_sp/datasets/asr/dataloader.py:10-88`` and the collate at
+``build.py:73-105``) with a host-side pipeline tuned for XLA:
+
+  * padded shapes are rounded up to configurable multiples so the number of
+    distinct compiled shapes stays small (static-shape bucketing,
+    SURVEY.md §7);
+  * a background thread keeps one batch ahead of the device (double
+    buffering on the host side);
+  * label padding uses pad=3; feature padding is 0.0 after CMVN.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from ... import PAD
+from .sampler import make_batches
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def collate(items, pad_xlen_multiple: int = 16, pad_ylen_multiple: int = 8,
+            pad_batch_multiple: int = 1):
+    """List of dataset items -> dict of padded numpy arrays + metadata."""
+    bs = len(items)
+    bs_pad = _round_up(bs, pad_batch_multiple)
+    xmax = _round_up(max(it["xs"].shape[0] for it in items), pad_xlen_multiple)
+    ymax = _round_up(max(max(len(it["ys"]), 1) for it in items),
+                     pad_ylen_multiple)
+    dim = items[0]["xs"].shape[1]
+    xs = np.zeros((bs_pad, xmax, dim), np.float32)
+    ys = np.full((bs_pad, ymax), PAD, np.int32)
+    xlens = np.zeros(bs_pad, np.int32)
+    ylens = np.zeros(bs_pad, np.int32)
+    for i, it in enumerate(items):
+        t = it["xs"].shape[0]
+        u = len(it["ys"])
+        xs[i, :t] = it["xs"]
+        ys[i, :u] = it["ys"]
+        xlens[i] = t
+        ylens[i] = u
+    return {
+        "xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens,
+        "utt_ids": [it["utt_id"] for it in items],
+        "speakers": [it["speaker"] for it in items],
+        "text": [it["text"] for it in items],
+    }
+
+
+class ASRDataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        batch_size_type: str = "seq",
+        dynamic_batching: bool = False,
+        bucketing: str = "sort",
+        seed: int = 1,
+        num_replicas: int = 1,
+        pad_xlen_multiple: int = 16,
+        pad_ylen_multiple: int = 8,
+        pad_batch_multiple: int = 1,
+        prefetch: int = 2,
+        longform_max_n_frames: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.batch_size_type = batch_size_type
+        self.dynamic_batching = dynamic_batching
+        self.bucketing = bucketing
+        self.seed = seed
+        self.num_replicas = num_replicas
+        self.pad_xlen_multiple = pad_xlen_multiple
+        self.pad_ylen_multiple = pad_ylen_multiple
+        self.pad_batch_multiple = pad_batch_multiple
+        self.prefetch = prefetch
+        self.longform_max_n_frames = longform_max_n_frames
+        self.epoch = 0
+        self._batches = self._make_batches()
+
+    # -- vocab metadata carried on the loader (reference dataloader.py:30-60) --
+    @property
+    def vocab(self):
+        return len(self.dataset.token2idx.token2idx) if hasattr(
+            self.dataset.token2idx, "token2idx") else None
+
+    @property
+    def idx2token(self):
+        return self.dataset.idx2token
+
+    def _make_batches(self):
+        return make_batches(
+            self.dataset.df,
+            batch_size=self.batch_size,
+            batch_size_type=self.batch_size_type,
+            dynamic_batching=self.dynamic_batching,
+            bucketing=self.bucketing,
+            seed=self.seed + self.epoch,
+            num_replicas=self.num_replicas,
+            longform_max_n_frames=self.longform_max_n_frames,
+        )
+
+    def __len__(self):
+        return len(self._batches)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        self._batches = self._make_batches()
+
+    def _load(self, batch):
+        items = [self.dataset[i] for i in batch]
+        return collate(items, self.pad_xlen_multiple, self.pad_ylen_multiple,
+                       self.pad_batch_multiple)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for b in self._batches:
+                yield self._load(b)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in self._batches:
+                    q.put(self._load(b))
+            finally:
+                q.put(stop)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        th.join()

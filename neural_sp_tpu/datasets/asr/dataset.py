@@ -1,0 +1,104 @@
+"""TSV-backed ASR dataset (reference ``neural_sp/datasets/asr/dataset.py:35-359``).
+
+TSV schema (parity with reference ``utils/make_tsv.py:91``):
+  utt_id \t speaker \t feat_path \t xlen \t xdim \t text \t token_id \t ylen \t ydim
+
+feat_path may be .npy, .npz:key, kaldi 'ark:offset', or .wav (fbank on load).
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+
+from ...utils.io import load_feat
+from ..token_converter.character import Char2idx, Idx2char
+from ..token_converter.word import Word2idx, Idx2word
+from ..token_converter.phone import Phone2idx, Idx2phone
+from ..token_converter.wordpiece import Wp2idx, Idx2wp
+
+logger = logging.getLogger(__name__)
+
+
+def build_converters(unit: str, dict_path: str, wp_model: str | None = None,
+                     nlsyms=None):
+    """(text->ids, ids->text) pair for a token unit."""
+    if unit == "word":
+        return Word2idx(dict_path), Idx2word(dict_path)
+    if unit in ("wp", "wordpiece"):
+        return Wp2idx(dict_path, wp_model), Idx2wp(dict_path, wp_model)
+    if unit in ("char", "character"):
+        return Char2idx(dict_path, nlsyms=nlsyms), Idx2char(dict_path)
+    if unit == "phone":
+        return Phone2idx(dict_path), Idx2phone(dict_path)
+    raise ValueError(f"unknown unit: {unit}")
+
+
+class ASRDataset:
+    def __init__(
+        self,
+        tsv_path: str,
+        dict_path: str,
+        unit: str = "char",
+        wp_model: str | None = None,
+        nlsyms=None,
+        min_n_frames: int = 1,
+        max_n_frames: int = 10**9,
+        subsample_factor: int = 1,
+        is_test: bool = False,
+        sort_by: str | None = None,       # input | output | None
+        short2long: bool = False,
+        ctc_alignment_dir: str | None = None,
+        use_tsv_token_ids: bool = True,
+    ):
+        # NOTE: the TSV token_id column is unit-specific (the reference writes
+        # one TSV per unit). Set use_tsv_token_ids=False to re-tokenize `text`
+        # with this dataset's converter instead.
+        self.use_tsv_token_ids = use_tsv_token_ids
+        self.unit = unit
+        self.token2idx, self.idx2token = build_converters(
+            unit, dict_path, wp_model, nlsyms)
+        df = pd.read_csv(tsv_path, sep="\t", dtype={"utt_id": str,
+                                                    "speaker": str,
+                                                    "text": str})
+        df = df.fillna({"text": ""})
+        n0 = len(df)
+        if not is_test:
+            df = df[df["xlen"].between(min_n_frames, max_n_frames)]
+            # CTC length compatibility (reference dataset.py:161-198)
+            if subsample_factor > 1:
+                df = df[df["ylen"] <= df["xlen"] // subsample_factor]
+        if len(df) != n0:
+            logger.info("removed %d utterances (length filters)", n0 - len(df))
+        if sort_by == "input":
+            df = df.sort_values("xlen", ascending=short2long, kind="stable")
+        elif sort_by == "output":
+            df = df.sort_values("ylen", ascending=short2long, kind="stable")
+        self.df = df.reset_index(drop=True)
+        self.ctc_alignment_dir = ctc_alignment_dir
+
+    def __len__(self):
+        return len(self.df)
+
+    @property
+    def n_frames_total(self) -> int:
+        return int(self.df["xlen"].sum())
+
+    def token_ids(self, i: int) -> np.ndarray:
+        row = self.df.iloc[i]
+        tid = row.get("token_id", None) if self.use_tsv_token_ids else None
+        if isinstance(tid, str) and tid:
+            return np.asarray([int(t) for t in tid.split()], np.int32)
+        return np.asarray(self.token2idx(row["text"]), np.int32)
+
+    def __getitem__(self, i: int):
+        row = self.df.iloc[i]
+        feat = load_feat(row["feat_path"])
+        return {
+            "utt_id": row["utt_id"],
+            "speaker": row["speaker"],
+            "xs": feat.astype(np.float32),
+            "ys": self.token_ids(i),
+            "text": row["text"],
+        }

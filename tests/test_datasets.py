@@ -1,0 +1,119 @@
+"""Data stack: corpus generation, tokenizers, TSV dataset, bucketing, loader."""
+import os
+
+import numpy as np
+import pytest
+
+from neural_sp_tpu.utils.ci_corpus import make_ci_corpus, WORDS
+from neural_sp_tpu.utils.io import (
+    write_kaldi_ark, read_kaldi_matrix, read_wav, write_wav)
+from neural_sp_tpu.datasets.asr.build import build_dataloader
+from neural_sp_tpu.datasets.asr.sampler import make_batches, stripe_for_rank
+from neural_sp_tpu.datasets.token_converter.wordpiece import (
+    train_bpe, BPEModel, Wp2idx, Idx2wp)
+from neural_sp_tpu.datasets.token_converter.character import Char2idx, Idx2char
+
+
+@pytest.fixture(scope="session")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ci_corpus")
+    return make_ci_corpus(str(root))
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (np.sin(np.arange(1600) / 20.0) * 0.7).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(x, y, atol=1e-3)
+
+
+def test_kaldi_ark_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    feats = {"utt1": rng.standard_normal((13, 4)).astype(np.float32),
+             "utt2": rng.standard_normal((7, 4)).astype(np.float32)}
+    offsets = write_kaldi_ark(str(tmp_path / "f.ark"), feats)
+    for k, loc in offsets.items():
+        np.testing.assert_allclose(read_kaldi_matrix(loc), feats[k])
+
+
+def test_char_tokenizer_roundtrip(corpus):
+    c2i = Char2idx(corpus["dict_char"])
+    i2c = Idx2char(corpus["dict_char"])
+    text = "aba cid"
+    ids = c2i(text)
+    assert i2c(ids) == text
+    assert all(i >= 4 for i in ids)
+
+
+def test_bpe_train_encode_decode(tmp_path):
+    sents = ["the cat sat on the mat", "the dog sat on the log",
+             "a cat and a dog"] * 5
+    model_path = str(tmp_path / "bpe.json")
+    train_bpe(sents, 60, model_path)
+    bpe = BPEModel(model_path)
+    pieces = bpe.encode("the cat sat")
+    assert bpe.decode_pieces(pieces) == "the cat sat"
+    # frequent word becomes a single piece
+    assert "▁the" in bpe.encode("the")[0] or len(bpe.encode("the")) <= 2
+
+
+def test_wp_converter_roundtrip(corpus):
+    wp2i = Wp2idx(corpus["dict_wp"], corpus["wp_model"])
+    i2wp = Idx2wp(corpus["dict_wp"], corpus["wp_model"])
+    text = f"{WORDS[0]} {WORDS[3]}"
+    assert i2wp(wp2i(text)) == text
+
+
+def test_dataloader_batches(corpus):
+    loader = build_dataloader(
+        corpus["train"], corpus["dict_char"], unit="char",
+        batch_size=8, bucketing="sort", sort_by="input", short2long=True,
+        pad_xlen_multiple=32, pad_ylen_multiple=8)
+    seen = 0
+    shapes = set()
+    for batch in loader:
+        bs, t, d = batch["xs"].shape
+        assert d == 80 and t % 32 == 0
+        assert batch["ys"].shape[1] % 8 == 0
+        assert (batch["xlens"] <= t).all() and (batch["xlens"][:len(batch["utt_ids"])] > 0).all()
+        # ys padded with pad=3 beyond ylens
+        for i in range(len(batch["utt_ids"])):
+            u = batch["ylens"][i]
+            assert (batch["ys"][i, u:] == 3).all()
+            assert (batch["ys"][i, :u] != 3).all()
+        shapes.add((t, batch["ys"].shape[1]))
+        seen += len(batch["utt_ids"])
+    assert seen == 40
+    assert len(shapes) <= 6  # bucketing keeps compile shapes few
+
+
+def test_frame_bin_batching(corpus):
+    loader = build_dataloader(
+        corpus["train"], corpus["dict_char"], unit="char",
+        batch_size=2000, batch_size_type="frame", bucketing="sort")
+    for batch in loader:
+        frames = int(batch["xlens"].sum())
+        assert frames <= 2000 + int(batch["xlens"].max())
+
+
+def test_ctc_filtering(corpus):
+    loader = build_dataloader(
+        corpus["train"], corpus["dict_char"], unit="char",
+        subsample_factor=8, batch_size=4)
+    df = loader.dataset.df
+    assert (df["ylen"] <= df["xlen"] // 8).all()
+
+
+def test_stripe_and_shuffle(corpus):
+    loader = build_dataloader(
+        corpus["train"], corpus["dict_char"], unit="char", batch_size=8,
+        bucketing="shuffle", seed=3)
+    b0 = [tuple(b) for b in loader._batches]
+    loader.set_epoch(1)
+    b1 = [tuple(b) for b in loader._batches]
+    assert b0 != b1 and sorted(sum(map(list, b0), [])) == sorted(sum(map(list, b1), []))
+    batch = list(range(8))
+    parts = [stripe_for_rank(batch, r, 4) for r in range(4)]
+    assert sorted(sum(parts, [])) == batch
