@@ -1,0 +1,65 @@
+"""Conformer convolution module (reference
+``neural_sp/models/modules/conformer_convolution.py:17-129``):
+pointwise -> GLU -> depthwise (optionally causal) -> norm -> swish -> pointwise.
+
+Streaming: the depthwise conv needs (kernel-1) left-context frames; callers
+pass the tail of the previous block as ``conv_cache`` (reference
+conformer_block.py:163-166) and receive the updated tail back.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class ConformerConvBlock(nn.Module):
+    d_model: int
+    kernel_size: int = 15
+    causal: bool = False
+    normalization: str = "batch_norm"  # batch_norm | group_norm | layer_norm
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, pad_mask=None, conv_cache=None,
+                 deterministic: bool = True):
+        """xs: [B, T, D]; pad_mask: [B, T] True=valid. Returns (out, cache)."""
+        if pad_mask is not None:
+            xs = xs * pad_mask[..., None].astype(xs.dtype)
+        h = nn.Dense(2 * self.d_model, name="pointwise1",
+                     param_dtype=self.param_dtype)(xs)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU
+
+        k = self.kernel_size
+        if self.causal:
+            left, right = k - 1, 0
+        else:
+            left, right = (k - 1) // 2, k - 1 - (k - 1) // 2
+        if conv_cache is not None:
+            h_in = jnp.concatenate([conv_cache, h], axis=1)
+            pad_l = 0
+        else:
+            h_in = h
+            pad_l = left
+        new_cache = h_in[:, -left:] if left > 0 else None
+        h = nn.Conv(self.d_model, (k,), padding=[(pad_l, right)],
+                    feature_group_count=self.d_model, name="depthwise",
+                    param_dtype=self.param_dtype)(h_in)
+        if conv_cache is not None:
+            h = h[:, -xs.shape[1]:]
+
+        if self.normalization == "batch_norm":
+            h = nn.BatchNorm(use_running_average=deterministic,
+                             name="norm", param_dtype=self.param_dtype)(h)
+        elif self.normalization == "group_norm":
+            h = nn.GroupNorm(num_groups=1, name="norm",
+                             param_dtype=self.param_dtype)(h)
+        else:
+            h = nn.LayerNorm(name="norm", param_dtype=self.param_dtype)(h)
+        h = jax.nn.swish(h)
+        h = nn.Dense(self.d_model, name="pointwise2",
+                     param_dtype=self.param_dtype)(h)
+        if pad_mask is not None:
+            h = h * pad_mask[..., None].astype(h.dtype)
+        return h, new_cache

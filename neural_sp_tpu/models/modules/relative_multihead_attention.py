@@ -1,0 +1,107 @@
+"""Transformer-XL style relative-position multi-head attention.
+
+Reference: ``neural_sp/models/modules/relative_multihead_attention.py:21-220``
+(global u/v biases, clamp_len, streaming qlen != klen handling).
+
+TPU-first redesign: instead of the pad/reshape ``_rel_shift`` trick (which
+only covers the causal qlen==klen case cleanly), the relative term is
+computed against a (2K-1)-entry signed-distance table and aligned with a
+static gather — one code path for bidirectional encoders, causal decoders,
+and streaming queries with cache offsets, all static-shape under jit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from ...ops.masks import apply_mask_logits
+from .multihead_attention import headdrop
+from .positional_embedding import sinusoidal_table
+
+
+def _signed_rel_table(klen: int, d_model: int, clamp_len: int) -> np.ndarray:
+    """[2K-1, d_model] sinusoidal embeddings of distances -(K-1)..K-1."""
+    dist = np.arange(-(klen - 1), klen, dtype=np.float32)
+    if clamp_len > 0:
+        dist = np.clip(dist, -clamp_len, clamp_len)
+    inv = np.exp(np.arange(0, d_model, 2, np.float32)
+                 * -(np.log(10000.0) / d_model))
+    tab = np.zeros((len(dist), d_model), np.float32)
+    tab[:, 0::2] = np.sin(dist[:, None] * inv)
+    tab[:, 1::2] = np.cos(dist[:, None] * inv)
+    return tab
+
+
+class RelativeMultiheadAttention(nn.Module):
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+    dropout_head: float = 0.0
+    clamp_len: int = -1
+    bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key=None, value=None, mask=None, cache=None,
+                 deterministic: bool = True, return_weights: bool = False):
+        h = self.n_heads
+        dk = self.d_model // h
+        bs, tq, _ = query.shape
+
+        q = nn.Dense(self.d_model, use_bias=self.bias, name="w_query",
+                     param_dtype=self.param_dtype)(query).reshape(bs, tq, h, dk)
+        k_in = key if key is not None else query
+        k = nn.Dense(self.d_model, use_bias=self.bias, name="w_key",
+                     param_dtype=self.param_dtype)(k_in)
+        v = nn.Dense(self.d_model, use_bias=self.bias, name="w_value",
+                     param_dtype=self.param_dtype)(k_in)
+        k = k.reshape(bs, k_in.shape[1], h, dk)
+        v = v.reshape(bs, k_in.shape[1], h, dk)
+        if cache is not None:
+            k = jnp.concatenate([cache["k"], k], axis=1)
+            v = jnp.concatenate([cache["v"], v], axis=1)
+        new_cache = {"k": k, "v": v}
+        klen = k.shape[1]
+
+        u_bias = self.param("u_bias", nn.initializers.zeros, (h, dk),
+                            self.param_dtype).astype(q.dtype)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (h, dk),
+                            self.param_dtype).astype(q.dtype)
+
+        # content term
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias[None, None], k)
+
+        # position term against the signed-distance table
+        rel = jnp.asarray(
+            _signed_rel_table(klen, self.d_model, self.clamp_len), q.dtype)
+        r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
+                     param_dtype=self.param_dtype)(rel)  # [2K-1, D]
+        r = r.reshape(-1, h, dk)
+        bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
+        # query i sits at absolute position i + (klen - tq); distance to key j
+        qi = lax.broadcasted_iota(jnp.int32, (tq, klen), 0) + (klen - tq)
+        kj = lax.broadcasted_iota(jnp.int32, (tq, klen), 1)
+        idx = (qi - kj) + (klen - 1)  # in [0, 2K-2]
+        bd = jnp.take_along_axis(
+            bd_all, idx[None, None].repeat(h, 1).repeat(bs, 0), axis=-1)
+
+        e = (ac + bd) / jnp.sqrt(jnp.asarray(dk, q.dtype))
+        if mask is not None:
+            if mask.ndim == 2:
+                mask = mask[:, None, None, :]
+            elif mask.ndim == 3:
+                mask = mask[:, None]
+            e = apply_mask_logits(e, mask)
+        aws = jax.nn.softmax(e.astype(jnp.float32), axis=-1).astype(q.dtype)
+        if not deterministic and self.dropout_head > 0:
+            aws = headdrop(aws, self.make_rng("dropout"), self.dropout_head)
+        aws_d = nn.Dropout(self.dropout)(aws, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", aws_d, v).reshape(bs, tq, self.d_model)
+        out = nn.Dense(self.d_model, use_bias=self.bias, name="w_out",
+                       param_dtype=self.param_dtype)(ctx)
+        if return_weights:
+            return out, new_cache, aws
+        return out, new_cache, None
