@@ -1,0 +1,311 @@
+"""Transformer / Conformer encoder family.
+
+Reference: ``neural_sp/models/seq2seq/encoders/transformer.py:40-686``,
+``conformer.py:18-191``, ``conformer_block.py:20-182``,
+``transformer_block.py:20-141``.
+
+One unified pre-norm encoder (``XformerEncoder``) parameterised by block
+type — transformer / conformer (v1, rel-PE, macaron) / conformer_v2 (abs-PE,
+conv-before-MHA) — with:
+  * abs or XL-relative positional encoding (clamp_len);
+  * per-layer interlayer subsampling;
+  * hierarchical sub1/sub2 taps with optional task-specific layer;
+  * LayerDrop with 1/(1-p) rescale (reference transformer_block.py:104-108);
+  * streaming training modes: ``reshape`` (chunkwise utterance splitting) and
+    ``mask`` (chunkwise attention mask) — SURVEY.md §5.2;
+  * streaming inference via explicit per-layer KV caches (see
+    ``streaming_step``), replacing the reference's mutable per-layer
+    ``self.cache`` (transformer.py:370-417).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.masks import (
+    make_pad_mask, make_san_mask, make_chunkwise_san_mask, causal_mask)
+from ..modules.multihead_attention import MultiheadAttention
+from ..modules.relative_multihead_attention import RelativeMultiheadAttention
+from ..modules.conformer_convolution import ConformerConvBlock
+from ..modules.feed_forward import FFN
+from ..modules.positional_embedding import PositionalEncoding
+from .conv import ConvEncoder
+from .subsampling import build_subsampler
+from .utils import chunkwise, chunkwise_merge
+
+
+def _make_mha(pe_type: str, d_model: int, n_heads: int, dropout: float,
+              clamp_len: int, name: str):
+    if pe_type in ("relative", "relative_xl"):
+        return RelativeMultiheadAttention(
+            d_model=d_model, n_heads=n_heads, dropout=dropout,
+            clamp_len=clamp_len, name=name)
+    return MultiheadAttention(d_model=d_model, n_heads=n_heads,
+                              dropout=dropout, name=name)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm block; btype selects transformer/conformer(v2) wiring."""
+    d_model: int
+    d_ff: int
+    n_heads: int
+    btype: str = "transformer"   # transformer | conformer | conformer_v2
+    dropout: float = 0.0
+    dropout_att: float = 0.0
+    dropout_layer: float = 0.0   # LayerDrop prob
+    pe_type: str = "add"
+    clamp_len: int = -1
+    ffn_activation: str = "relu"
+    ffn_bottleneck_dim: int = 0
+    conv_kernel_size: int = 15
+    conv_normalization: str = "layer_norm"
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, xs, mask=None, pad_mask=None, cache=None,
+                 conv_cache=None, deterministic: bool = True,
+                 return_weights: bool = False):
+        new_caches = {}
+        is_conf = self.btype.startswith("conformer")
+        fx = 0.5 if is_conf else 1.0
+
+        def drop_path(new, old):
+            if deterministic or self.dropout_layer == 0.0:
+                return new
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout_layer)
+            scale = 1.0 / (1.0 - self.dropout_layer)
+            return jnp.where(keep, old + (new - old) * scale, old)
+
+        if is_conf:  # macaron first FFN
+            h = nn.LayerNorm(name="norm_ff_macaron")(xs)
+            h = FFN(self.d_model, self.d_ff, self.dropout,
+                    self.ffn_activation, self.ffn_bottleneck_dim,
+                    name="ff_macaron")(h, deterministic)
+            xs = drop_path(xs + fx * nn.Dropout(self.dropout)(
+                h, deterministic=deterministic), xs)
+
+        def conv_module(xs, conv_cache):
+            h = nn.LayerNorm(name="norm_conv")(xs)
+            h, cc = ConformerConvBlock(
+                self.d_model, self.conv_kernel_size, self.causal,
+                self.conv_normalization, name="conv")(
+                h, pad_mask, conv_cache, deterministic)
+            return drop_path(
+                xs + nn.Dropout(self.dropout)(h, deterministic=deterministic),
+                xs), cc
+
+        if self.btype == "conformer_v2":
+            xs, new_caches["conv"] = conv_module(xs, conv_cache)
+
+        h = nn.LayerNorm(name="norm_mha")(xs)
+        use_rel = self.pe_type in ("relative", "relative_xl")
+        mha = _make_mha(self.pe_type, self.d_model, self.n_heads,
+                        self.dropout_att, self.clamp_len, name="mha")
+        if use_rel:
+            h, kv, aws = mha(h, mask=mask, cache=cache,
+                             deterministic=deterministic,
+                             return_weights=return_weights)
+        else:
+            h, kv, aws = mha(h, h, h, mask=mask, cache=cache,
+                             deterministic=deterministic,
+                             return_weights=return_weights)
+        new_caches["kv"] = kv
+        xs = drop_path(
+            xs + nn.Dropout(self.dropout)(h, deterministic=deterministic), xs)
+
+        if self.btype == "conformer":
+            xs, new_caches["conv"] = conv_module(xs, conv_cache)
+
+        h = nn.LayerNorm(name="norm_ff")(xs)
+        h = FFN(self.d_model, self.d_ff, self.dropout, self.ffn_activation,
+                self.ffn_bottleneck_dim, name="ff")(h, deterministic)
+        xs = drop_path(
+            xs + fx * nn.Dropout(self.dropout)(h, deterministic=deterministic),
+            xs)
+        if is_conf:
+            xs = nn.LayerNorm(name="norm_final")(xs)
+        return xs, new_caches, aws
+
+
+class XformerEncoder(nn.Module):
+    input_dim: int
+    btype: str = "transformer"          # transformer | conformer | conformer_v2
+    d_model: int = 256
+    d_ff: int = 2048
+    n_heads: int = 4
+    n_layers: int = 12
+    n_layers_sub1: int = 0
+    n_layers_sub2: int = 0
+    pe_type: str = "add"                # add | relative | relative_xl | none
+    clamp_len: int = -1
+    dropout_in: float = 0.0
+    dropout: float = 0.1
+    dropout_att: float = 0.0
+    dropout_layer: float = 0.0
+    ffn_activation: str = "relu"
+    ffn_bottleneck_dim: int = 0
+    last_proj_dim: int = 0
+    task_specific_layer: bool = False
+    subsample: tuple = ()               # per-layer factors
+    subsample_type: str = "drop"
+    conv_kernel_size: int = 15          # conformer conv
+    conv_normalization: str = "layer_norm"
+    # conv frontend
+    conv_channels: str = ""
+    conv_kernel_sizes: str = ""
+    conv_strides: str = ""
+    conv_poolings: str = ""
+    conv_frontend_normalization: str = ""
+    # streaming (sizes in *input* frames, scaled by the conv factor inside)
+    unidirectional: bool = False
+    chunk_size_left: int = -1
+    chunk_size_current: int = -1
+    chunk_size_right: int = 0
+    streaming_type: str = "mask"        # reshape | mask
+
+    @property
+    def conv_factor(self) -> int:
+        if not self.conv_channels:
+            return 1
+        from .conv import parse_cnn_config
+        cfg = parse_cnn_config(self.conv_channels, self.conv_kernel_sizes,
+                               self.conv_strides, self.conv_poolings)
+        f = 1
+        for (st, _), (pt, _) in zip(cfg.strides, cfg.poolings):
+            f *= st * max(pt, 1)
+        return f
+
+    @property
+    def subsampling_factor(self) -> int:
+        f = self.conv_factor
+        for s in self.subsample:
+            f *= s
+        return f
+
+    @property
+    def output_dim(self) -> int:
+        return self.last_proj_dim if self.last_proj_dim > 0 else self.d_model
+
+    def _conv(self) -> ConvEncoder:
+        return ConvEncoder(
+            input_dim=self.input_dim, channels=self.conv_channels,
+            kernel_sizes=self.conv_kernel_sizes, strides=self.conv_strides,
+            poolings=self.conv_poolings,
+            normalization=self.conv_frontend_normalization,
+            bottleneck_dim=self.d_model, name="conv")
+
+    def _block(self, lth: int) -> EncoderBlock:
+        # deeper layers dropped more (reference transformer.py:226)
+        p = self.dropout_layer * (lth + 1) / max(self.n_layers, 1)
+        return EncoderBlock(
+            d_model=self.d_model, d_ff=self.d_ff, n_heads=self.n_heads,
+            btype=self.btype, dropout=self.dropout,
+            dropout_att=self.dropout_att, dropout_layer=p,
+            pe_type=self.pe_type, clamp_len=self.clamp_len,
+            ffn_activation=self.ffn_activation,
+            ffn_bottleneck_dim=self.ffn_bottleneck_dim,
+            conv_kernel_size=self.conv_kernel_size,
+            conv_normalization=self.conv_normalization,
+            causal=self.unidirectional, name=f"block{lth}")
+
+    @nn.compact
+    def __call__(self, xs, xlens, task: str = "all",
+                 deterministic: bool = True, return_weights: bool = False):
+        xs = nn.Dropout(self.dropout_in)(xs, deterministic=deterministic)
+        if self.conv_channels:
+            xs, xlens = self._conv()(xs, xlens, deterministic)
+        else:
+            xs = nn.Dense(self.d_model, name="embed")(xs)
+        factor = self.conv_factor
+
+        bs, t_in = xs.shape[0], xs.shape[1]
+        streaming = self.chunk_size_current > 0
+        n_l = self.chunk_size_left // factor if self.chunk_size_left > 0 else \
+            (-1 if self.chunk_size_left < 0 else 0)
+        n_c = max(self.chunk_size_current // factor, 1) if streaming else 0
+        n_r = self.chunk_size_right // factor
+
+        reshape_mode = streaming and self.streaming_type == "reshape"
+        if reshape_mode:
+            # [B, T, D] -> [B*n_chunks, N_l+N_c+N_r, D]; no mask inside chunks
+            nl_eff = max(n_l, 0)
+            xs = chunkwise(xs, nl_eff, n_c, n_r)
+
+        xs = PositionalEncoding(
+            self.d_model,
+            "add" if self.pe_type in ("add", "1dconv3L_add") else "none",
+            self.dropout, name="pos_enc")(xs, 0, deterministic)
+
+        if reshape_mode:
+            mask = None
+            pad_mask = None
+        else:
+            pad_mask = make_pad_mask(xlens, xs.shape[1])
+            if streaming:  # `mask` mode
+                mask = make_chunkwise_san_mask(pad_mask, n_l, n_c, n_r)
+            elif self.unidirectional:
+                mask = make_san_mask(pad_mask) & causal_mask(
+                    xs.shape[1], xs.shape[1])[None]
+            else:
+                mask = make_san_mask(pad_mask)
+
+        eouts: dict[str, Any] = {}
+        aws_all = []
+        subsample = list(self.subsample) or [1] * self.n_layers
+        h = xs
+        for lth in range(self.n_layers):
+            h, _, aws = self._block(lth)(
+                h, mask, pad_mask, deterministic=deterministic,
+                return_weights=return_weights)
+            if return_weights:
+                aws_all.append(aws)
+
+            for sub, n_sub in (("sub1", self.n_layers_sub1),
+                               ("sub2", self.n_layers_sub2)):
+                if lth == n_sub - 1 and n_sub > 0:
+                    h_sub = h
+                    if self.task_specific_layer:
+                        h_sub, _, _ = EncoderBlock(
+                            d_model=self.d_model, d_ff=self.d_ff,
+                            n_heads=self.n_heads, btype=self.btype,
+                            dropout=self.dropout, pe_type=self.pe_type,
+                            clamp_len=self.clamp_len,
+                            ffn_activation=self.ffn_activation,
+                            conv_kernel_size=self.conv_kernel_size,
+                            name=f"block_{sub}_tsl")(
+                            h_sub, mask, pad_mask, deterministic=deterministic)
+                    h_sub = nn.LayerNorm(name=f"norm_out_{sub}")(h_sub)
+                    if self.last_proj_dim > 0:
+                        h_sub = nn.Dense(self.last_proj_dim,
+                                         name=f"bridge_{sub}")(h_sub)
+                    if reshape_mode:
+                        h_sub = chunkwise_merge(
+                            h_sub, bs, max(n_l, 0), n_c, n_r, t_in)
+                    eouts[f"ys_{sub}"] = {"xs": h_sub, "xlens": xlens}
+                    if task == f"ys_{sub}":
+                        return eouts
+
+            if subsample[lth] > 1:
+                assert not streaming, "interlayer subsample + streaming modes"
+                h, xlens = build_subsampler(
+                    self.subsample_type, subsample[lth], self.d_model)(h, xlens)
+                pad_mask = make_pad_mask(xlens, h.shape[1])
+                if self.unidirectional:
+                    mask = make_san_mask(pad_mask) & causal_mask(
+                        h.shape[1], h.shape[1])[None]
+                else:
+                    mask = make_san_mask(pad_mask)
+
+        h = nn.LayerNorm(name="norm_out")(h)
+        if self.last_proj_dim > 0:
+            h = nn.Dense(self.last_proj_dim, name="bridge")(h)
+        if reshape_mode:
+            h = chunkwise_merge(h, bs, max(n_l, 0), n_c, n_r, t_in)
+        eouts["ys"] = {"xs": h, "xlens": xlens}
+        if return_weights:
+            eouts["aws"] = aws_all
+        return eouts
