@@ -1,0 +1,74 @@
+"""Benchmark: flagship Conformer-LAS training-step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no GPU throughput (SURVEY.md §6); BASELINE.json's
+north star is >=10x an estimated reference GPU rate. We use a fixed
+reference estimate of 40 utts/sec/GPU for the flagship config (typical V100
+number for batch-24000-frame Conformer-LAS training) so vs_baseline is
+stable across rounds; value is utterances/sec/chip.
+"""
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REFERENCE_UTTS_PER_SEC = 40.0
+
+
+def main():
+    from __graft_entry__ import _flagship_args
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.parallel.mesh import make_train_step
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+    from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
+
+    args = _flagship_args(scale=1.0)
+    args.enc_n_layers = 12            # full flagship depth
+    model = build_speech2text(args)
+
+    bs, t, u = 16, 1024, 48           # ~10s utterances, frame-bin style batch
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
+    xlens = jnp.full((bs,), t, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
+    ylens = jnp.full((bs,), u, jnp.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+    tx = build_optimizer("noam",
+                         schedule=noam_schedule(args.transformer_d_model,
+                                                25000, factor=5.0),
+                         clip_grad_norm=5.0)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, mesh=None, donate=True)
+
+    key = jax.random.PRNGKey(0)
+    params, opt_state, m = step(params, opt_state, key, xs, xlens, ys, ylens)
+    jax.block_until_ready(m["loss"])  # compile + warm
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, m = step(params, opt_state,
+                                    jax.random.fold_in(key, i),
+                                    xs, xlens, ys, ylens)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    utts_per_sec = bs / dt
+    print(json.dumps({
+        "metric": "flagship_conformer_las_train_throughput",
+        "value": round(utts_per_sec, 2),
+        "unit": "utts/sec/chip",
+        "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

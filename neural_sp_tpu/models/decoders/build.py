@@ -1,0 +1,68 @@
+"""build_decoder — dispatch on dec_type (reference
+``neural_sp/models/seq2seq/decoders/build.py:7-140``)."""
+from __future__ import annotations
+
+from .las import RNNDecoder
+from .rnn_transducer import RNNTransducer
+
+
+def _get(args, name, default=None):
+    return getattr(args, name, default)
+
+
+def build_decoder(args, vocab: int, enc_n_units: int,
+                  backward: bool = False):
+    dec_type = _get(args, "dec_type", "lstm")
+
+    if dec_type in ("lstm_transducer", "gru_transducer"):
+        return RNNTransducer(
+            vocab=vocab, enc_n_units=enc_n_units,
+            n_units=_get(args, "dec_n_units", 512),
+            n_projs=_get(args, "dec_n_projs", 0),
+            n_layers=_get(args, "dec_n_layers", 1),
+            emb_dim=_get(args, "emb_dim", 512),
+            joint_dim=_get(args, "transducer_joint_dim",
+                           _get(args, "dec_n_units", 512)),
+            rnn_type=dec_type.split("_")[0],
+            dropout=_get(args, "dropout_dec", 0.0),
+            dropout_emb=_get(args, "dropout_emb", 0.0),
+            backward=backward)
+
+    if dec_type == "transformer":
+        from .transformer import TransformerDecoder
+        return TransformerDecoder(
+            vocab=vocab, enc_n_units=enc_n_units,
+            d_model=_get(args, "transformer_d_model", 256),
+            d_ff=_get(args, "transformer_d_ff", 2048),
+            n_heads=_get(args, "transformer_n_heads", 4),
+            n_layers=_get(args, "dec_n_layers", 6),
+            pe_type=_get(args, "transformer_dec_pe_type", "add"),
+            dropout=_get(args, "dropout_dec", 0.1),
+            dropout_att=_get(args, "dropout_att", 0.0),
+            dropout_layer=_get(args, "dropout_dec_layer", 0.0),
+            dropout_emb=_get(args, "dropout_emb", 0.0),
+            lsm_prob=_get(args, "lsm_prob", 0.0),
+            ffn_activation=_get(args, "transformer_ffn_activation", "relu"),
+            backward=backward)
+
+    # default: LAS RNN decoder (lstm | gru)
+    return RNNDecoder(
+        vocab=vocab, enc_n_units=enc_n_units,
+        n_units=_get(args, "dec_n_units", 512),
+        n_projs=_get(args, "dec_n_projs", 0),
+        n_layers=_get(args, "dec_n_layers", 1),
+        emb_dim=_get(args, "emb_dim", 512),
+        bottleneck_dim=_get(args, "dec_bottleneck_dim",
+                            _get(args, "dec_n_units", 512)),
+        attn_type=_get(args, "attn_type", "location"),
+        attn_dim=_get(args, "attn_dim", 512),
+        attn_conv_n_channels=_get(args, "attn_conv_n_channels", 10),
+        attn_conv_kernel_size=_get(args, "attn_conv_width", 201),
+        attn_sharpening_factor=_get(args, "attn_sharpening_factor", 1.0),
+        attn_sigmoid_smoothing=_get(args, "attn_sigmoid", False),
+        dropout=_get(args, "dropout_dec", 0.0),
+        dropout_emb=_get(args, "dropout_emb", 0.0),
+        dropout_att=_get(args, "dropout_att", 0.0),
+        lsm_prob=_get(args, "lsm_prob", 0.0),
+        ss_prob=_get(args, "ss_prob", 0.0),
+        backward=backward)

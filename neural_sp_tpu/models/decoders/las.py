@@ -1,0 +1,254 @@
+"""LAS (attention-based) RNN decoder.
+
+Reference: ``RNNDecoder`` ``neural_sp/models/seq2seq/decoders/las.py:50-1706``.
+
+TPU-first redesign: the per-token Python loop (las.py:667-704) becomes an
+``nn.scan`` over a single fused step module (LSTM stack + attention +
+readout), with:
+  * teacher forcing fully scanned (static U+1 steps over the padded batch);
+  * scheduled sampling (:668) via per-step Bernoulli inside the scan;
+  * attention-key projection hoisted out of the scan (computed once per
+    utterance, reference's `precompute`);
+  * greedy decode as the same scan fed by its own argmax (carry-passed);
+  * batched beam search drives the same single-step path (see
+    ``beam_search.py``), so training and decoding share one kernel.
+
+The CTC joint head, LM fusion, and MoChA variants attach at the
+Speech2Text / module level.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ... import EOS, PAD
+from ...ops.criterion import cross_entropy_lsm, compute_accuracy
+from ...ops.masks import make_pad_mask
+from ..modules.attention import AttentionMechanism
+from ..modules.gmm_attention import GMMAttention
+from ..utils import append_sos_eos
+
+
+class LASStep(nn.Module):
+    """One decode step: embed -> LSTM stack -> attend -> readout."""
+    vocab: int
+    emb_dim: int
+    n_units: int
+    n_projs: int
+    n_layers: int
+    enc_n_units: int
+    attn_type: str = "location"
+    attn_dim: int = 512
+    attn_n_heads: int = 1
+    attn_conv_n_channels: int = 10
+    attn_conv_kernel_size: int = 201
+    attn_sharpening_factor: float = 1.0
+    attn_sigmoid_smoothing: bool = False
+    bottleneck_dim: int = 1024
+    dropout: float = 0.0
+    dropout_emb: float = 0.0
+    dropout_att: float = 0.0
+    ss_prob: float = 0.0
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab, self.emb_dim)
+        cells = []
+        for _ in range(self.n_layers):
+            cells.append(nn.OptimizedLSTMCell(self.n_units))
+        self.cells = cells
+        if self.n_projs > 0:
+            self.projs = [nn.Dense(self.n_projs)
+                          for _ in range(self.n_layers)]
+        qdim = self.n_projs if self.n_projs > 0 else self.n_units
+        if self.attn_type == "gmm":
+            self.attn = GMMAttention(kdim=self.enc_n_units, qdim=qdim,
+                                     adim=self.attn_dim)
+        else:
+            self.attn = AttentionMechanism(
+                kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
+                atype=self.attn_type,
+                conv_out_channels=self.attn_conv_n_channels,
+                conv_kernel_size=self.attn_conv_kernel_size,
+                sharpening_factor=self.attn_sharpening_factor,
+                sigmoid_smoothing=self.attn_sigmoid_smoothing,
+                dropout=self.dropout_att)
+        self.w_gen = nn.Dense(self.bottleneck_dim)
+        self.output = nn.Dense(self.vocab)
+        self.drop = nn.Dropout(self.dropout)
+        self.drop_emb = nn.Dropout(self.dropout_emb)
+
+    def __call__(self, carry, y_t, key_cache, values, mask,
+                 deterministic: bool = True):
+        """carry: (cell_states tuple, aw_prev [B,Tk], ctx_prev [B,D],
+        prev_logits [B,V]); y_t: [B] int token ids.
+        Returns (new_carry, (logits_t [B,V], aw [B,Tk]))."""
+        cell_states, aw_prev, ctx_prev, prev_logits = carry
+        y_in = y_t
+        if self.ss_prob > 0 and not deterministic:
+            use_ss = jax.random.bernoulli(
+                self.make_rng("dropout"), self.ss_prob, y_t.shape)
+            y_in = jnp.where(use_ss, jnp.argmax(prev_logits, -1), y_t)
+        emb = self.drop_emb(self.embed(y_in), deterministic=deterministic)
+
+        h = jnp.concatenate([emb, ctx_prev], axis=-1)
+        new_states = []
+        douts = []
+        for lth in range(self.n_layers):
+            st, h = self.cells[lth](cell_states[lth], h)
+            new_states.append(st)
+            h = self.drop(h, deterministic=deterministic)
+            if self.n_projs > 0:
+                h = jnp.tanh(self.projs[lth](h))
+            douts.append(h)
+
+        query = douts[0]  # dout_score: first-layer output (reference :778)
+        if self.attn_type == "gmm":
+            ctx, aw, myu = self.attn(values, values, query, mask,
+                                     myu_prev=aw_prev[:, :self.attn.n_mixtures])
+            aw_new = jnp.zeros_like(aw_prev).at[:, :self.attn.n_mixtures].set(myu)
+        else:
+            ctx, aw = self.attn(None, values, query, mask, aw_prev,
+                                key_cache=key_cache,
+                                deterministic=deterministic)
+            aw_new = aw
+        attn_v = jnp.tanh(self.w_gen(
+            jnp.concatenate([ctx, douts[-1]], axis=-1)))
+        attn_v = self.drop(attn_v, deterministic=deterministic)
+        logits_t = self.output(attn_v)
+        new_carry = (tuple(new_states), aw_new, ctx, logits_t)
+        return new_carry, (logits_t, aw)
+
+
+class RNNDecoder(nn.Module):
+    """Training forward + greedy decode. Beam search lives in
+    ``beam_search.py`` and drives ``decode_step``."""
+    vocab: int
+    enc_n_units: int
+    n_units: int = 1024
+    n_projs: int = 0
+    n_layers: int = 1
+    emb_dim: int = 512
+    bottleneck_dim: int = 1024
+    attn_type: str = "location"
+    attn_dim: int = 512
+    attn_conv_n_channels: int = 10
+    attn_conv_kernel_size: int = 201
+    attn_sharpening_factor: float = 1.0
+    attn_sigmoid_smoothing: bool = False
+    dropout: float = 0.0
+    dropout_emb: float = 0.0
+    dropout_att: float = 0.0
+    lsm_prob: float = 0.0
+    ss_prob: float = 0.0
+    backward: bool = False
+
+    def setup(self):
+        fields = dict(
+            vocab=self.vocab, emb_dim=self.emb_dim, n_units=self.n_units,
+            n_projs=self.n_projs, n_layers=self.n_layers,
+            enc_n_units=self.enc_n_units, attn_type=self.attn_type,
+            attn_dim=self.attn_dim,
+            attn_conv_n_channels=self.attn_conv_n_channels,
+            attn_conv_kernel_size=self.attn_conv_kernel_size,
+            attn_sharpening_factor=self.attn_sharpening_factor,
+            attn_sigmoid_smoothing=self.attn_sigmoid_smoothing,
+            bottleneck_dim=self.bottleneck_dim, dropout=self.dropout,
+            dropout_emb=self.dropout_emb, dropout_att=self.dropout_att,
+            ss_prob=self.ss_prob)
+        self.step_scan = nn.scan(
+            LASStep,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(1, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
+            out_axes=1)(**fields, name="step")
+        # attention key projection hoisted out of the scan
+        if self.attn_type in ("location", "add"):
+            self.key_proj = nn.Dense(self.attn_dim, use_bias=False)
+        elif self.attn_type == "luong_general":
+            qdim = self.n_projs if self.n_projs > 0 else self.n_units
+            self.key_proj = nn.Dense(qdim, use_bias=False)
+        else:
+            self.key_proj = None
+
+    def _key_cache(self, eouts):
+        return self.key_proj(eouts) if self.key_proj is not None else eouts
+
+    def init_carry(self, bs: int, tmax: int, dtype=jnp.float32):
+        states = tuple(
+            (jnp.zeros((bs, self.n_units), dtype),
+             jnp.zeros((bs, self.n_units), dtype))
+            for _ in range(self.n_layers))
+        aw0 = jnp.zeros((bs, tmax), dtype)
+        ctx0 = jnp.zeros((bs, self.enc_n_units), dtype)
+        logits0 = jnp.zeros((bs, self.vocab), dtype)
+        return (states, aw0, ctx0, logits0)
+
+    def __call__(self, eouts, elens, ys, ylens, deterministic: bool = True,
+                 trigger_points=None, return_logits: bool = False):
+        """Teacher-forced XE loss (+ accuracy); ys: [B, U] PAD-padded."""
+        bs, tmax, _ = eouts.shape
+        ys_in, ys_out, _ = append_sos_eos(ys, ylens, bwd=self.backward)
+        mask = make_pad_mask(elens, tmax)
+        key_cache = self._key_cache(eouts)
+        carry = self.init_carry(bs, tmax, eouts.dtype)
+        carry, (logits, aws) = self.step_scan(
+            carry, ys_in, key_cache, eouts, mask, deterministic)
+        loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
+                                      ignore_index=PAD)
+        acc = compute_accuracy(logits, ys_out, ignore_index=PAD)
+        obs = {"loss_att": loss, "acc_att": acc, "ppl_att": jnp.exp(nll)}
+        if return_logits:
+            obs["logits"] = logits
+            obs["aws"] = aws
+        return loss, obs
+
+    def decode_step(self, carry, y_t, key_cache, eouts, mask):
+        """Single decode step (beam search / streaming); same params as the
+        training scan (scan over one step)."""
+        carry, (logits, aws) = self.step_scan(
+            carry, y_t[:, None], key_cache, eouts, mask, True)
+        return carry, logits[:, 0], aws[:, 0]
+
+    def precompute_keys(self, eouts):
+        return self._key_cache(eouts)
+
+    def greedy_scan(self, eouts, elens, max_len: int):
+        """Device-side greedy decode as one fused scan (self-fed argmax).
+
+        Returns (tokens [B, max_len] with PAD after eos, lens [B]).
+        """
+        bs, tmax, _ = eouts.shape
+        mask = make_pad_mask(elens, tmax)
+        key_cache = self._key_cache(eouts)
+        carry0 = self.init_carry(bs, tmax, eouts.dtype)
+        y0 = jnp.full((bs,), EOS, jnp.int32)
+        done0 = jnp.zeros((bs,), bool)
+
+        # feed the scan with dummy teacher tokens; override the embedding
+        # input each step via the carried argmax by running step-by-step
+        # inside one nn.scan: y_t input = previous argmax carried in logits.
+        dummy = jnp.zeros((bs, max_len), jnp.int32)
+
+        def scan_body(mdl, carry, y_dummy):
+            step_carry, y_prev, done = carry
+            step_carry, (logits, _) = mdl(
+                step_carry, y_prev[:, None], key_cache, eouts, mask, True)
+            logits = logits[:, 0]
+            y = jnp.argmax(logits, -1).astype(jnp.int32)
+            y = jnp.where(done, PAD, y)
+            done = done | (y == EOS)
+            return (step_carry, jnp.where(done, EOS, y), done), y
+
+        scanned = nn.scan(
+            scan_body, variable_broadcast="params",
+            split_rngs={"params": False}, in_axes=1, out_axes=1)
+        (_, _, _), toks = scanned(self.step_scan, (carry0, y0, done0), dummy)
+        lens = jnp.argmax(
+            jnp.concatenate([toks == EOS, jnp.ones((bs, 1), bool)], 1),
+            axis=1)
+        return toks, lens.astype(jnp.int32)

@@ -1,0 +1,198 @@
+"""Speech2Text — the task model composing frontend, encoder, and decoders.
+
+Reference: ``neural_sp/models/seq2seq/speech2text.py:42-831``:
+  * encode() (:369-431): frame-stack/splice (host-side in our loader),
+    SpecAugment, sequence-summary/in-noise frontends, encoder forward;
+  * _forward (:271-345): MTL loss composition over fwd/bwd attention
+    decoders, CTC, and sub1/sub2 auxiliary heads;
+  * decoding APIs live in ``decoders/decoding.py`` (greedy/beam sessions).
+
+Design: submodules are built once by ``build_speech2text(args)`` and passed
+in as fields; the loss path is a single jittable function of
+(params, batch, rng).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .. import PAD
+from ..ops.specaugment import spec_augment
+from .encoders.rnn import RNNEncoder
+from .decoders.ctc import CTC
+from .decoders.las import RNNDecoder
+
+
+class Speech2Text(nn.Module):
+    encoder: nn.Module
+    dec_fwd: Optional[nn.Module] = None
+    dec_bwd: Optional[nn.Module] = None
+    ctc: Optional[CTC] = None
+    dec_fwd_sub1: Optional[nn.Module] = None
+    ctc_sub1: Optional[CTC] = None
+    dec_fwd_sub2: Optional[nn.Module] = None
+    ctc_sub2: Optional[CTC] = None
+    # MTL weights (reference speech2text.py:118-184)
+    ctc_weight: float = 0.0
+    bwd_weight: float = 0.0
+    sub1_weight: float = 0.0
+    ctc_weight_sub1: float = 0.0
+    sub2_weight: float = 0.0
+    ctc_weight_sub2: float = 0.0
+    # SpecAugment
+    specaug_freq_mask_width: int = 0
+    specaug_n_freq_masks: int = 0
+    specaug_time_mask_width: int = 0
+    specaug_n_time_masks: int = 0
+    specaug_p: float = 1.0
+    specaug_adaptive_number_ratio: float = 0.0
+    specaug_adaptive_size_ratio: float = 0.0
+    # input Gaussian noise (reference frontends/input_noise.py)
+    input_noise_std: float = 0.0
+    # weight noise is applied by the trainer on params (reference base.py:77)
+
+    @property
+    def fwd_weight(self) -> float:
+        return max(1.0 - self.ctc_weight - self.bwd_weight
+                   - self.sub1_weight - self.sub2_weight, 0.0)
+
+    def _frontend(self, xs, xlens, deterministic):
+        if not deterministic and self.specaug_n_freq_masks + \
+                self.specaug_n_time_masks > 0:
+            xs = spec_augment(
+                self.make_rng("specaug"), xs, xlens,
+                freq_mask_width=self.specaug_freq_mask_width,
+                n_freq_masks=self.specaug_n_freq_masks,
+                time_mask_width=self.specaug_time_mask_width,
+                n_time_masks=self.specaug_n_time_masks,
+                p=self.specaug_p,
+                adaptive_number_ratio=self.specaug_adaptive_number_ratio,
+                adaptive_size_ratio=self.specaug_adaptive_size_ratio)
+        if not deterministic and self.input_noise_std > 0:
+            xs = xs + self.input_noise_std * jax.random.normal(
+                self.make_rng("specaug"), xs.shape, xs.dtype)
+        return xs, xlens
+
+    def encode(self, xs, xlens, task: str = "all",
+               deterministic: bool = True, carry=None):
+        xs, xlens = self._frontend(xs, xlens, deterministic)
+        out = self.encoder(xs, xlens, task=task, deterministic=deterministic,
+                           **({"carry": carry}
+                              if isinstance(self.encoder, RNNEncoder) else {}))
+        if isinstance(out, tuple):  # RNN encoders return (eouts, carry)
+            return out
+        return out, None
+
+    def __call__(self, xs, xlens, ys, ylens, ys_sub1=None, ylens_sub1=None,
+                 ys_sub2=None, ylens_sub2=None, task: str = "all",
+                 deterministic: bool = True):
+        """Returns (total loss, observation dict)."""
+        eouts, _ = self.encode(xs, xlens, task, deterministic)
+        loss = jnp.zeros((), jnp.float32)
+        obs: dict[str, Any] = {}
+
+        if "ys" in eouts:
+            ex, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+            if self.ctc is not None and self.ctc_weight > 0:
+                loss_ctc, _ = self.ctc(ex, el, ys, ylens, deterministic)
+                loss += self.ctc_weight * loss_ctc
+                obs["loss_ctc"] = loss_ctc
+            if self.dec_fwd is not None and self.fwd_weight > 0:
+                loss_att, obs_att = self.dec_fwd(ex, el, ys, ylens,
+                                                 deterministic)
+                loss += self.fwd_weight * loss_att
+                obs.update(obs_att)
+            if self.dec_bwd is not None and self.bwd_weight > 0:
+                loss_bwd, obs_bwd = self.dec_bwd(ex, el, ys, ylens,
+                                                 deterministic)
+                loss += self.bwd_weight * loss_bwd
+                obs["loss_att_bwd"] = loss_bwd
+                obs["acc_att_bwd"] = obs_bwd["acc_att"]
+
+        for sub, w_att, w_ctc in (("sub1", self.sub1_weight,
+                                   self.ctc_weight_sub1),
+                                  ("sub2", self.sub2_weight,
+                                   self.ctc_weight_sub2)):
+            key = f"ys_{sub}"
+            if key not in eouts:
+                continue
+            ex, el = eouts[key]["xs"], eouts[key]["xlens"]
+            ys_s = ys_sub1 if sub == "sub1" else ys_sub2
+            ylens_s = ylens_sub1 if sub == "sub1" else ylens_sub2
+            if ys_s is None:
+                ys_s, ylens_s = ys, ylens
+            ctc_head = getattr(self, f"ctc_{sub}")
+            dec_head = getattr(self, f"dec_fwd_{sub}")
+            if ctc_head is not None and w_ctc > 0:
+                l, _ = ctc_head(ex, el, ys_s, ylens_s, deterministic)
+                loss += w_ctc * l
+                obs[f"loss_ctc_{sub}"] = l
+            if dec_head is not None and w_att - w_ctc > 0:
+                l, o = dec_head(ex, el, ys_s, ylens_s, deterministic)
+                loss += (w_att - w_ctc) * l
+                obs[f"loss_att_{sub}"] = l
+        obs["loss"] = loss
+        return loss, obs
+
+
+def build_speech2text(args) -> Speech2Text:
+    """Assemble a Speech2Text from a reference-style args namespace."""
+    from .encoders.build import build_encoder
+    from .decoders.build import build_decoder
+
+    enc = build_encoder(args)
+    enc_n_units = enc.output_dim
+
+    g = lambda name, default=None: getattr(args, name, default)
+    vocab = args.vocab
+    ctc_weight = g("ctc_weight", 0.0)
+    bwd_weight = g("bwd_weight", 0.0)
+    sub1_weight = g("sub1_weight", 0.0)
+    sub2_weight = g("sub2_weight", 0.0)
+
+    ctc = None
+    if ctc_weight > 0:
+        ctc = CTC(vocab=vocab, enc_n_units=enc_n_units,
+                  dropout=g("dropout_dec", 0.0),
+                  lsm_prob=g("ctc_lsm_prob", 0.0),
+                  fc_list=g("ctc_fc_list", "") or "")
+    dec_fwd = None
+    if ctc_weight < 1.0:
+        dec_fwd = build_decoder(args, vocab, enc_n_units)
+    dec_bwd = None
+    if bwd_weight > 0:
+        dec_bwd = build_decoder(args, vocab, enc_n_units, backward=True)
+
+    def sub_heads(sub):
+        w = g(f"{sub}_weight", 0.0)
+        wc = g(f"ctc_weight_{sub}", 0.0)
+        if w <= 0:
+            return None, None
+        vocab_sub = g(f"vocab_{sub}", vocab)
+        c = CTC(vocab=vocab_sub, enc_n_units=enc_n_units,
+                dropout=g("dropout_dec", 0.0)) if wc > 0 else None
+        d = build_decoder(args, vocab_sub, enc_n_units) if w - wc > 0 else None
+        return d, c
+
+    dec_s1, ctc_s1 = sub_heads("sub1")
+    dec_s2, ctc_s2 = sub_heads("sub2")
+
+    return Speech2Text(
+        encoder=enc, dec_fwd=dec_fwd, dec_bwd=dec_bwd, ctc=ctc,
+        dec_fwd_sub1=dec_s1, ctc_sub1=ctc_s1,
+        dec_fwd_sub2=dec_s2, ctc_sub2=ctc_s2,
+        ctc_weight=ctc_weight, bwd_weight=bwd_weight,
+        sub1_weight=sub1_weight, ctc_weight_sub1=g("ctc_weight_sub1", 0.0),
+        sub2_weight=sub2_weight, ctc_weight_sub2=g("ctc_weight_sub2", 0.0),
+        specaug_freq_mask_width=g("freq_width", 0),
+        specaug_n_freq_masks=g("n_freq_masks", 0),
+        specaug_time_mask_width=g("time_width", 0),
+        specaug_n_time_masks=g("n_time_masks", 0),
+        specaug_p=g("time_width_upper", 1.0),
+        specaug_adaptive_number_ratio=g("adaptive_number_ratio", 0.0),
+        specaug_adaptive_size_ratio=g("adaptive_size_ratio", 0.0),
+        input_noise_std=g("input_noise_std", 0.0),
+    )

@@ -58,3 +58,14 @@ def test_grad_flows_through_lsm():
     g = jax.grad(lambda l: cross_entropy_lsm(l, ys, 0.1)[0])(logits)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)[0, 2]).sum() == 0.0  # masked token has no grad
+
+
+def test_edit_distance():
+    from neural_sp_tpu.evaluators.edit_distance import (
+        compute_wer, compute_cer, wer_align)
+    wer, s, i, d = compute_wer("a b c d".split(), "a x c".split())
+    assert (s, i, d) == (1, 0, 1) and wer == 50.0
+    assert compute_wer([], [])[0] == 0.0
+    assert compute_cer("abcd", "abcd") == 0.0
+    out = wer_align("a b c".split(), "a c".split())
+    assert "REF" in out and "D" in out
