@@ -1,0 +1,493 @@
+"""Decoding sessions: greedy + beam search drivers over jitted step fns.
+
+Reference algorithms:
+  * LAS label-synchronous beam search with joint CTC prefix scoring, LM
+    shallow fusion, ILM subtraction, length/coverage penalties, eos
+    threshold (``las.py:1062-1437``, helper ``beam_search.py:19-207``);
+  * CTC greedy/prefix search (``ctc.py:219-531``);
+  * RNN-T greedy + time-synchronous beam (``rnn_transducer.py:330-765``).
+
+Design: hypotheses live in fixed-shape arrays ([beam] leading dim) and all
+NN work is one jitted step per token reused across utterances; host Python
+only reorders indices and manages end-of-sentence bookkeeping — the
+reference's dict-of-hyps inner loops are gone.
+
+A session object compiles once and is reused across an entire eval set.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ... import BLANK, EOS, PAD
+from ...ops.masks import make_pad_mask
+from .ctc import CTCPrefixScorer, ctc_greedy, ctc_prefix_beam_search
+from .las import RNNDecoder
+from .transformer import TransformerDecoder
+from .rnn_transducer import RNNTransducer
+
+
+@dataclass
+class DecodeConfig:
+    beam_width: int = 10
+    max_len_ratio: float = 1.0
+    min_len_ratio: float = 0.0
+    length_penalty: float = 0.0
+    length_norm: bool = False
+    coverage_penalty: float = 0.0
+    coverage_threshold: float = 0.0
+    eos_threshold: float = 1.5
+    ctc_weight: float = 0.0          # joint CTC score weight at decode
+    lm_weight: float = 0.0
+    ilm_weight: float = 0.0          # internal LM subtraction
+    softmax_smoothing: float = 1.0
+    n_best: int = 1
+
+
+class Speech2TextSession:
+    """Wraps (model, params) with jitted encode + per-decoder-step fns."""
+
+    def __init__(self, model, params, conf: DecodeConfig | None = None,
+                 lm_session=None):
+        self.model = model
+        self.params = params
+        self.conf = conf or DecodeConfig()
+        self.lm = lm_session
+        self._encode = jax.jit(
+            lambda xs, xlens: model.apply(
+                {"params": params}, xs, xlens, method=model.encode)[0])
+        dec = model.dec_fwd
+        self.dec = dec
+        if isinstance(dec, RNNDecoder):
+            self._keys = jax.jit(lambda e: model.apply(
+                {"params": params}, e,
+                method=lambda m, e: m.dec_fwd.precompute_keys(e)))
+            self._step = jax.jit(lambda carry, y, kc, e, m: model.apply(
+                {"params": params}, carry, y, kc, e, m,
+                method=lambda mdl, c, y, kc, e, m:
+                mdl.dec_fwd.decode_step(c, y, kc, e, m)))
+        elif isinstance(dec, TransformerDecoder):
+            self._src = jax.jit(lambda e: model.apply(
+                {"params": params}, e,
+                method=lambda m, e: m.dec_fwd.precompute_src(e)))
+            self._tstep = jax.jit(
+                lambda caches, src, y, mask, off: model.apply(
+                    {"params": params}, caches, src, y, mask, off,
+                    method=lambda mdl, c, s, y, m, o:
+                    mdl.dec_fwd.decode_step(c, s, y, m, o)),
+                static_argnums=(4,))
+        if model.ctc is not None:
+            self._ctc_logp = jax.jit(lambda e: model.apply(
+                {"params": params}, e,
+                method=lambda m, e: m.ctc.log_probs(e)))
+
+    # ------------------------------------------------------------------ #
+    def encode(self, xs, xlens):
+        return self._encode(jnp.asarray(xs), jnp.asarray(xlens))
+
+    def decode_ctc_greedy(self, xs, xlens):
+        eouts = self.encode(xs, xlens)
+        lp = self._ctc_logp(eouts["ys"]["xs"])
+        paths = np.asarray(jnp.argmax(lp, -1))
+        return ctc_greedy(paths, np.asarray(eouts["ys"]["xlens"]))
+
+    def decode_ctc_beam(self, xs, xlens):
+        eouts = self.encode(xs, xlens)
+        lp = np.asarray(self._ctc_logp(eouts["ys"]["xs"]))
+        elens = np.asarray(eouts["ys"]["xlens"])
+        out = []
+        lm_fn = self._make_ctc_lm_fn() if (
+            self.lm is not None and self.conf.lm_weight > 0) else None
+        for b in range(lp.shape[0]):
+            nbest = ctc_prefix_beam_search(
+                lp[b], int(elens[b]), self.conf.beam_width,
+                lm_fn=lm_fn, lm_weight=self.conf.lm_weight,
+                length_norm=self.conf.length_norm)
+            out.append([h["hyp"] for h in nbest[:self.conf.n_best]])
+        return [h[0] for h in out]
+
+    def _make_ctc_lm_fn(self):
+        cache: dict = {}
+
+        def lm_fn(prefix):
+            if prefix not in cache:
+                state = self.lm.initial_state(1)
+                ids = [EOS] + list(prefix)
+                for t in ids[:-1] if len(ids) > 1 else []:
+                    _, state = self.lm.predict(
+                        np.asarray([ids[ids.index(t)]], np.int32), state)
+                # recompute cleanly: feed all ids
+                state = self.lm.initial_state(1)
+                lp = None
+                for t in ids:
+                    lp, state = self.lm.predict(np.asarray([t], np.int32),
+                                                state)
+                cache[prefix] = np.asarray(lp[0])
+            return cache[prefix]
+
+        return lm_fn
+
+    def decode_attention_greedy(self, xs, xlens):
+        assert isinstance(self.dec, RNNDecoder)
+        eouts = self.encode(xs, xlens)
+        e, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+        max_len = max(int(e.shape[1] * self.conf.max_len_ratio), 2)
+        toks, lens = self.model.apply(
+            {"params": self.params}, e, el, max_len,
+            method=lambda m, e, el, L: m.dec_fwd.greedy_scan(e, el, L))
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        return [[int(t) for t in toks[b, :lens[b]] if t not in (EOS, PAD)]
+                for b in range(toks.shape[0])]
+
+    # ------------------------------------------------------------------ #
+    def decode_attention_beam(self, xs, xlens):
+        """Batched-beam label-synchronous search, one utterance at a time
+        (reference eval protocol, bs=1)."""
+        eouts_all = self.encode(xs, xlens)
+        bs = eouts_all["ys"]["xs"].shape[0]
+        results = []
+        for b in range(bs):
+            e = eouts_all["ys"]["xs"][b:b + 1]
+            el = eouts_all["ys"]["xlens"][b:b + 1]
+            if isinstance(self.dec, TransformerDecoder):
+                results.append(self._beam_one_transformer(e, el)[0])
+            else:
+                results.append(self._beam_one_las(e, el)[0])
+        return results
+
+    def _ctc_scorer(self, e, el):
+        if self.conf.ctc_weight <= 0 or self.model.ctc is None:
+            return None
+        lp = np.asarray(self._ctc_logp(e))[0][: int(el[0])]
+        return CTCPrefixScorer(lp)
+
+    def _beam_one_las(self, e, el):
+        conf = self.conf
+        dec: RNNDecoder = self.dec
+        beam = conf.beam_width
+        tmax = e.shape[1]
+        max_len = max(int(int(el[0]) * conf.max_len_ratio), 2)
+        min_len = int(int(el[0]) * conf.min_len_ratio)
+
+        e_t = jnp.repeat(e, beam, axis=0)
+        mask = make_pad_mask(jnp.repeat(el, beam, 0), tmax)
+        kc = self._keys(e_t)
+        carry = dec.init_carry(beam, tmax, e.dtype)
+
+        ctc_scorer = self._ctc_scorer(e, el)
+        ctc_states = [ctc_scorer.initial_state() if ctc_scorer else None] * beam
+
+        hyps = [[] for _ in range(beam)]
+        scores = np.full(beam, -1e30, np.float32)
+        scores[0] = 0.0
+        scores_ctc = np.zeros(beam, np.float32)
+        scores_lm = np.zeros(beam, np.float32)
+        lm_states = [self.lm.initial_state(1) if self.lm else None] * beam
+        aw_sums = np.zeros((beam, tmax), np.float32)
+        y = jnp.full((beam,), EOS, jnp.int32)
+        finished: list[dict] = []
+
+        for step_i in range(max_len):
+            carry, logits, aw = self._step(carry, y, kc, e_t, mask)
+            logp = np.asarray(jax.nn.log_softmax(
+                conf.softmax_smoothing * logits.astype(jnp.float32), -1))
+            V = logp.shape[-1]
+
+            lm_logp = np.zeros_like(logp)
+            if self.lm is not None and conf.lm_weight > 0:
+                lps, new_states = [], []
+                for k in range(beam):
+                    lp_k, st = self.lm.predict(
+                        np.asarray([hyps[k][-1] if hyps[k] else EOS],
+                                   np.int32), lm_states[k])
+                    lps.append(np.asarray(lp_k[0]))
+                    new_states.append(st)
+                lm_logp = np.stack(lps)
+                lm_states = new_states
+
+            total = scores[:, None] + logp + conf.lm_weight * lm_logp
+            # eos handling: eos allowed only if logp(eos) good enough
+            # (eos_threshold, reference las.py:1306) and length >= min_len
+            if step_i < min_len:
+                total[:, EOS] = -1e30
+            else:
+                best_non_eos = np.max(
+                    np.delete(logp, EOS, axis=1), axis=1)
+                bad_eos = logp[:, EOS] < conf.eos_threshold * best_non_eos
+                total[bad_eos, EOS] = -1e30
+
+            # joint CTC prefix scoring on top candidates
+            new_ctc_states = None
+            if ctc_scorer is not None:
+                ctc_cand = min(beam * 4, V)
+                total_ctc = np.full_like(total, -1e30)
+                new_ctc_states = [[None] * V for _ in range(beam)]
+                for k in range(beam):
+                    if scores[k] <= -1e29:
+                        continue
+                    cands = np.argsort(logp[k])[::-1][:ctc_cand]
+                    psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
+                    # incremental joint score (reference beam_search.py:49-64):
+                    # carried score + (1-w)*att + w*(psi - prev ctc score) + lm
+                    total_ctc[k, cands] = (
+                        scores[k]
+                        + (1 - conf.ctc_weight) * logp[k, cands]
+                        + conf.ctc_weight * psi
+                        - (conf.ctc_weight * scores_ctc[k])
+                        + conf.lm_weight * lm_logp[k, cands])
+                    for ci, c in enumerate(cands):
+                        new_ctc_states[k][c] = (r_new[ci], psi[ci])
+                total = total_ctc
+
+            flat = total.reshape(-1)
+            top = np.argpartition(-flat, beam)[: beam * 2]
+            top = top[np.argsort(-flat[top])]
+
+            new_hyps, new_scores, new_y, parents = [], [], [], []
+            new_sctc, new_slm = [], []
+            new_ctc_beam = []
+            for idx in top:
+                k, v = divmod(int(idx), V)
+                sc = float(flat[idx])
+                if sc <= -1e29:
+                    continue
+                if v == EOS:
+                    cand = {"hyp": hyps[k] + [EOS], "score": sc,
+                            "score_lm": float(scores_lm[k])}
+                    L = len(cand["hyp"])
+                    if conf.length_norm:
+                        cand["score"] = sc / max(L, 1)
+                    else:
+                        cand["score"] = sc + conf.length_penalty * L
+                    if conf.coverage_penalty > 0:
+                        cov = np.sum(np.minimum(
+                            aw_sums[k], conf.coverage_threshold or 0.5))
+                        cand["score"] += conf.coverage_penalty * cov
+                    finished.append(cand)
+                    continue
+                new_hyps.append(hyps[k] + [v])
+                new_scores.append(sc)
+                new_y.append(v)
+                parents.append(k)
+                new_slm.append(scores_lm[k] + (float(lm_logp[k, v])
+                                               if self.lm else 0.0))
+                if ctc_scorer is not None and new_ctc_states[k][v] is not None:
+                    r_new, psi = new_ctc_states[k][v]
+                    new_ctc_beam.append((r_new, float(psi)))
+                else:
+                    new_ctc_beam.append((ctc_states[k], scores_ctc[k]))
+                if len(new_hyps) == beam:
+                    break
+            if not new_hyps or len(finished) >= beam * 2:
+                break
+            while len(new_hyps) < beam:  # pad beam with dead entries
+                new_hyps.append(new_hyps[-1])
+                new_scores.append(-1e30)
+                new_y.append(new_y[-1])
+                parents.append(parents[-1])
+                new_slm.append(new_slm[-1])
+                new_ctc_beam.append(new_ctc_beam[-1])
+
+            par = jnp.asarray(parents, jnp.int32)
+            carry = jax.tree.map(lambda x: x[par], carry)
+            aw_sums = aw_sums[parents] + np.asarray(aw)[parents]
+            if self.lm is not None:
+                lm_states = [jax.tree.map(lambda x: x, lm_states[p])
+                             for p in parents]
+            hyps = new_hyps
+            scores = np.asarray(new_scores, np.float32)
+            scores_lm = np.asarray(new_slm, np.float32)
+            if ctc_scorer is not None:
+                ctc_states = [c[0] for c in new_ctc_beam]
+                scores_ctc = np.asarray([c[1] for c in new_ctc_beam],
+                                        np.float32)
+            y = jnp.asarray(new_y, jnp.int32)
+
+        if not finished:
+            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
+        finished.sort(key=lambda d: -d["score"])
+        nbest = [[t for t in f["hyp"] if t != EOS]
+                 for f in finished[: self.conf.n_best]]
+        return nbest[0], nbest
+
+    def _beam_one_transformer(self, e, el):
+        conf = self.conf
+        dec: TransformerDecoder = self.dec
+        beam = conf.beam_width
+        tmax = e.shape[1]
+        max_len = max(int(int(el[0]) * conf.max_len_ratio), 2)
+        min_len = int(int(el[0]) * conf.min_len_ratio)
+
+        e_t = jnp.repeat(e, beam, axis=0)
+        src_mask = make_pad_mask(jnp.repeat(el, beam, 0), tmax)[:, None, :]
+        src_caches = self._src(e_t)
+        caches = dec.init_cache(beam, e.dtype)
+        ctc_scorer = self._ctc_scorer(e, el)
+        ctc_states = [ctc_scorer.initial_state() if ctc_scorer else None] * beam
+
+        hyps = [[] for _ in range(beam)]
+        scores = np.full(beam, -1e30, np.float32)
+        scores[0] = 0.0
+        scores_ctc = np.zeros(beam, np.float32)
+        scores_lm = np.zeros(beam, np.float32)
+        lm_states = [self.lm.initial_state(1) if self.lm else None] * beam
+        y = jnp.full((beam,), EOS, jnp.int32)
+        finished: list[dict] = []
+
+        for step_i in range(max_len):
+            caches, logits = self._tstep(caches, src_caches, y, src_mask,
+                                         step_i)
+            logp = np.asarray(jax.nn.log_softmax(
+                conf.softmax_smoothing * logits.astype(jnp.float32), -1))
+            V = logp.shape[-1]
+            lm_logp = np.zeros_like(logp)
+            if self.lm is not None and conf.lm_weight > 0:
+                lps, new_states = [], []
+                for k in range(beam):
+                    lp_k, st = self.lm.predict(
+                        np.asarray([hyps[k][-1] if hyps[k] else EOS],
+                                   np.int32), lm_states[k])
+                    lps.append(np.asarray(lp_k[0]))
+                    new_states.append(st)
+                lm_logp = np.stack(lps)
+                lm_states = new_states
+
+            total = scores[:, None] + logp + conf.lm_weight * lm_logp
+            if step_i < min_len:
+                total[:, EOS] = -1e30
+            else:
+                best_non_eos = np.max(np.delete(logp, EOS, axis=1), axis=1)
+                bad = logp[:, EOS] < conf.eos_threshold * best_non_eos
+                total[bad, EOS] = -1e30
+
+            new_ctc_states = None
+            if ctc_scorer is not None:
+                ctc_cand = min(beam * 4, V)
+                tot2 = np.full_like(total, -1e30)
+                new_ctc_states = [[None] * V for _ in range(beam)]
+                for k in range(beam):
+                    if scores[k] <= -1e29:
+                        continue
+                    cands = np.argsort(logp[k])[::-1][:ctc_cand]
+                    psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
+                    tot2[k, cands] = (scores[k]
+                                      + (1 - conf.ctc_weight) * logp[k, cands]
+                                      + conf.ctc_weight * psi
+                                      - conf.ctc_weight * scores_ctc[k]
+                                      + conf.lm_weight * lm_logp[k, cands])
+                    for ci, c in enumerate(cands):
+                        new_ctc_states[k][c] = (r_new[ci], psi[ci])
+                total = tot2
+
+            flat = total.reshape(-1)
+            top = np.argpartition(-flat, beam)[: beam * 2]
+            top = top[np.argsort(-flat[top])]
+            new_hyps, new_scores, new_y, parents = [], [], [], []
+            new_slm, new_ctc_beam = [], []
+            for idx in top:
+                k, v = divmod(int(idx), V)
+                sc = float(flat[idx])
+                if sc <= -1e29:
+                    continue
+                if v == EOS:
+                    L = len(hyps[k]) + 1
+                    final = sc / max(L, 1) if conf.length_norm else \
+                        sc + conf.length_penalty * L
+                    finished.append({"hyp": hyps[k] + [EOS], "score": final})
+                    continue
+                new_hyps.append(hyps[k] + [v])
+                new_scores.append(sc)
+                new_y.append(v)
+                parents.append(k)
+                new_slm.append(scores_lm[k] + (float(lm_logp[k, v])
+                                               if self.lm else 0.0))
+                if ctc_scorer is not None and new_ctc_states[k][v] is not None:
+                    r_new, psi = new_ctc_states[k][v]
+                    new_ctc_beam.append((r_new, float(psi)))
+                else:
+                    new_ctc_beam.append((ctc_states[k], scores_ctc[k]))
+                if len(new_hyps) == beam:
+                    break
+            if not new_hyps or len(finished) >= beam * 2:
+                break
+            while len(new_hyps) < beam:
+                new_hyps.append(new_hyps[-1])
+                new_scores.append(-1e30)
+                new_y.append(new_y[-1])
+                parents.append(parents[-1])
+                new_slm.append(new_slm[-1])
+                new_ctc_beam.append(new_ctc_beam[-1])
+            par = jnp.asarray(parents, jnp.int32)
+            caches = jax.tree.map(lambda x: x[par], caches)
+            if self.lm is not None:
+                lm_states = [lm_states[p] for p in parents]
+            hyps = new_hyps
+            scores = np.asarray(new_scores, np.float32)
+            scores_lm = np.asarray(new_slm, np.float32)
+            if ctc_scorer is not None:
+                ctc_states = [c[0] for c in new_ctc_beam]
+                scores_ctc = np.asarray([c[1] for c in new_ctc_beam],
+                                        np.float32)
+            y = jnp.asarray(new_y, jnp.int32)
+
+        if not finished:
+            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
+        finished.sort(key=lambda d: -d["score"])
+        nbest = [[t for t in f["hyp"] if t != EOS]
+                 for f in finished[: self.conf.n_best]]
+        return nbest[0], nbest
+
+    # ------------------------------------------------------------------ #
+    def decode(self, xs, xlens):
+        """Dispatch like reference Speech2Text.decode (:709-831)."""
+        if self.model.dec_fwd is None or \
+                (self.model.ctc_weight >= 1.0):
+            if self.conf.beam_width > 1:
+                return self.decode_ctc_beam(xs, xlens)
+            return self.decode_ctc_greedy(xs, xlens)
+        if isinstance(self.dec, RNNTransducer):
+            return self.decode_transducer_greedy(xs, xlens)
+        if self.conf.beam_width <= 1 and isinstance(self.dec, RNNDecoder):
+            return self.decode_attention_greedy(xs, xlens)
+        return self.decode_attention_beam(xs, xlens)
+
+    # ------------------------------------------------------------------ #
+    def decode_transducer_greedy(self, xs, xlens, max_symbols: int = 3):
+        """Frame-synchronous greedy RNN-T decoding (reference :330-382)."""
+        dec: RNNTransducer = self.dec
+        eouts = self.encode(xs, xlens)
+        e = np.asarray(eouts["ys"]["xs"])
+        el = np.asarray(eouts["ys"]["xlens"])
+        bs = e.shape[0]
+
+        if not hasattr(self, "_rnnt_pred"):
+            self._rnnt_pred = jax.jit(lambda y, c: self.model.apply(
+                {"params": self.params}, y, c,
+                method=lambda m, y, c: m.dec_fwd.pred_net(y, c)))
+            self._rnnt_joint = jax.jit(lambda et, pt: self.model.apply(
+                {"params": self.params}, et, pt,
+                method=lambda m, et, pt: m.dec_fwd.joint_step(et, pt)))
+
+        out = []
+        for b in range(bs):
+            hyp: list[int] = []
+            pred_out, carry = self._rnnt_pred(
+                jnp.asarray([[EOS]], jnp.int32), None)
+            pt = pred_out[:, 0]
+            for t in range(int(el[b])):
+                et = jnp.asarray(e[b:b + 1, t])
+                for _ in range(max_symbols):
+                    logits = self._rnnt_joint(et, pt)
+                    k = int(jnp.argmax(logits[0]))
+                    if k == BLANK:
+                        break
+                    hyp.append(k)
+                    pred_out, carry = self._rnnt_pred(
+                        jnp.asarray([[k]], jnp.int32), carry)
+                    pt = pred_out[:, 0]
+            out.append(hyp)
+        return out
