@@ -1,0 +1,159 @@
+"""LM stack: forward/BPTT state, incremental-vs-parallel consistency,
+training overfit, fusion/rescoring, cache model, LM dataset."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from neural_sp_tpu.models.lm.rnnlm import RNNLM
+from neural_sp_tpu.models.lm.transformerlm import TransformerLM
+from neural_sp_tpu.models.lm.transformer_xl import TransformerXL
+from neural_sp_tpu.models.lm.gated_convlm import GatedConvLM
+from neural_sp_tpu.models.lm.session import LMSession, rescore_nbest
+from neural_sp_tpu.datasets.lm import LMDataset
+
+RNG = jax.random.PRNGKey(0)
+VOCAB = 20
+
+
+def _lms():
+    return [
+        RNNLM(vocab=VOCAB, n_units=16, n_layers=2, emb_dim=16),
+        TransformerLM(vocab=VOCAB, d_model=16, d_ff=32, n_heads=2, n_layers=2),
+        TransformerXL(vocab=VOCAB, d_model=16, d_ff=32, n_heads=2, n_layers=2,
+                      mem_len=8),
+        GatedConvLM(vocab=VOCAB, emb_dim=16, layers="16:3_16:3"),
+    ]
+
+
+@pytest.mark.parametrize("lm_idx", range(4))
+def test_lm_forward_and_state(lm_idx):
+    lm = _lms()[lm_idx]
+    ys_in = jnp.asarray(np.random.default_rng(0).integers(0, VOCAB, (2, 10)),
+                        jnp.int32)
+    ys_out = jnp.roll(ys_in, -1, axis=1)
+    v = lm.init(RNG, ys_in, ys_out)
+    loss, state, obs = lm.apply(v, ys_in, ys_out)
+    assert np.isfinite(float(loss)) and float(obs["ppl"]) > 1.0
+    # second window with carried state runs
+    loss2, _, _ = lm.apply(v, ys_in, ys_out, state)
+    assert np.isfinite(float(loss2))
+
+
+@pytest.mark.parametrize("lm_idx", range(4))
+def test_lm_incremental_matches_parallel(lm_idx):
+    """predict() chained per token must match the parallel decode logits."""
+    lm = _lms()[lm_idx]
+    ys = jnp.asarray([[2, 5, 7, 9, 4, 11]], jnp.int32)
+    v = lm.init(RNG, ys, ys)
+    sess = LMSession(lm, v["params"])
+    state = sess.initial_state(1)
+    inc = []
+    for t in range(ys.shape[1]):
+        lp, state = sess.predict(np.asarray([int(ys[0, t])]), state)
+        inc.append(lp[0])
+    inc = np.stack(inc)
+    # parallel: hidden for whole sequence
+    if isinstance(lm, RNNLM):
+        h, _ = lm.apply(v, ys, method=lm.decode)
+        logits = lm.apply(v, h, method=lm.logits_from_hidden)
+    elif isinstance(lm, TransformerLM):
+        h, _ = lm.apply(v, ys, method=lm.decode)
+        logits = lm.apply(v, h, method=lm._logits)
+    elif isinstance(lm, TransformerXL):
+        h, _ = lm.apply(v, ys, method=lm.decode)
+        logits = lm.apply(v, h, method=lm._logits)
+    else:
+        h, _ = lm.apply(v, ys, method=lm.decode)
+        logits = lm.apply(v, h, method=lambda m, h: m.output(h))
+    par = np.asarray(jax.nn.log_softmax(
+        np.asarray(logits, np.float32), -1))[0]
+    np.testing.assert_allclose(inc, par, rtol=1e-3, atol=1e-4)
+
+
+def test_rnnlm_overfit_and_rescoring():
+    rng = np.random.default_rng(0)
+    seq = [4, 5, 6, 7, 8, 9, 10, 11] * 8
+    ys_in = jnp.asarray([seq[:-1]], jnp.int32)
+    ys_out = jnp.asarray([seq[1:]], jnp.int32)
+    lm = RNNLM(vocab=VOCAB, n_units=32, n_layers=1, emb_dim=16)
+    v = lm.init(RNG, ys_in, ys_out)
+    tx = optax.adam(5e-3)
+    opt = tx.init(v["params"])
+
+    @jax.jit
+    def step(p, o):
+        loss, g = jax.value_and_grad(
+            lambda p: lm.apply({"params": p}, ys_in, ys_out)[0])(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    p = v["params"]
+    for _ in range(120):
+        p, opt, loss = step(p, opt)
+    assert float(loss) < 1.0, float(loss)
+
+    sess = LMSession(lm, p)
+    good = [4, 5, 6, 7, 8]
+    bad = [4, 9, 5, 13, 8]
+    assert sess.score_sequence(good[1:], sos=good[0]) > \
+        sess.score_sequence(bad[1:], sos=bad[0])
+    best = rescore_nbest([good, bad], [0.0, 0.0], sess, 1.0)
+    assert best == good
+    # cache model path runs and returns sane ppl
+    ppl = sess.ppl_with_cache(seq[:32])
+    assert ppl > 0
+
+
+def test_lm_shallow_fusion_in_beam(tmp_path):
+    """Plug an LMSession into the attention beam search."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(enc_type="blstm", input_dim=20, enc_n_units=16,
+                           enc_n_layers=1, dec_type="lstm", dec_n_units=16,
+                           dec_n_layers=1, emb_dim=8, dec_bottleneck_dim=16,
+                           attn_dim=16, attn_conv_width=9, vocab=VOCAB,
+                           ctc_weight=0.3)
+    model = build_speech2text(args)
+    xs = jnp.asarray(np.random.default_rng(0).standard_normal((1, 30, 20)),
+                     jnp.float32)
+    xlens = jnp.asarray([30], jnp.int32)
+    ys = jnp.asarray([[4, 5, 6]], jnp.int32)
+    ylens = jnp.asarray([3], jnp.int32)
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    lm = RNNLM(vocab=VOCAB, n_units=16, n_layers=1, emb_dim=8)
+    vlm = lm.init(RNG, ys, ys)
+    sess = Speech2TextSession(
+        model, v["params"],
+        DecodeConfig(beam_width=3, lm_weight=0.3, ctc_weight=0.3),
+        lm_session=LMSession(lm, vlm["params"]))
+    hyps = sess.decode_attention_beam(xs, xlens)
+    assert len(hyps) == 1
+    hyps_ctc = sess.decode_ctc_beam(xs, xlens)
+    assert len(hyps_ctc) == 1
+
+
+def test_lm_dataset_windows(tmp_path):
+    import pandas as pd
+    df = pd.DataFrame([
+        {"utt_id": f"u{i}", "text": "a b", "token_id": "4 5", "ylen": 2}
+        for i in range(20)])
+    tsv = tmp_path / "lm.tsv"
+    df.to_csv(tsv, sep="\t", index=False)
+    dict_path = tmp_path / "dict.txt"
+    dict_path.write_text("a 4\nb 5\n")
+    ds = LMDataset(str(tsv), str(dict_path), unit="word", batch_size=2,
+                   bptt=5)
+    wins = list(ds)
+    assert len(wins) == len(ds) and len(wins) > 0
+    xi, xo = wins[0]
+    assert xi.shape[0] == 2 and xi.shape[1] == 5
+    np.testing.assert_array_equal(xi[:, 1:], xo[:, :-1])
+    # backward mode reverses the stream
+    dsb = LMDataset(str(tsv), str(dict_path), unit="word", batch_size=2,
+                    bptt=5, backward=True)
+    xib, _ = next(iter(dsb))
+    assert xib.shape == xi.shape
