@@ -1,0 +1,175 @@
+"""ASR training CLI (reference ``neural_sp/bin/asr/train.py:55-586``).
+
+Usage:
+  python -m neural_sp_tpu.bin.asr.train --config conf.yml \
+      --train_set train.tsv --dev_set dev.tsv --dict dict.txt \
+      --model_save_dir exp/
+
+One jit'd train step serves the whole run (shapes bucketed by the loader);
+multi-device data parallelism is a mesh + sharded batches, not process
+groups (SURVEY.md §2.10).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...bin.args import parse_args_train, save_config
+from ...datasets.asr.build import build_dataloader
+from ...models.speech2text import build_speech2text
+from ...parallel.mesh import make_mesh, make_train_step, replicated
+from ...trainers.optimizer import build_optimizer
+from ...trainers.lr_scheduler import (
+    noam_schedule, warmup_schedule, EpochController)
+from ...trainers.checkpoint import (
+    save_checkpoint, load_checkpoint, latest_epoch)
+from ...trainers.reporter import Reporter
+
+logger = logging.getLogger(__name__)
+
+
+def make_schedule(args):
+    if args.optimizer in ("noam", "noam_adam") or \
+            getattr(args, "warmup_n_steps", 0) > 0 and \
+            args.optimizer == "noam":
+        return noam_schedule(args.transformer_d_model,
+                             max(args.warmup_n_steps, 1),
+                             factor=getattr(args, "lr_factor", 1.0))
+    if getattr(args, "warmup_n_steps", 0) > 0:
+        return warmup_schedule(args.lr,
+                               getattr(args, "warmup_start_lr", args.lr / 100),
+                               args.warmup_n_steps)
+    return None
+
+
+def main(argv=None):
+    args = parse_args_train(argv if argv is not None else sys.argv[1:])
+    logging.basicConfig(level=logging.INFO)
+    np.random.seed(args.seed)
+
+    save_dir = args.model_save_dir
+    os.makedirs(save_dir, exist_ok=True)
+
+    loader_kw = dict(
+        dict_path=args.dict, unit=args.unit,
+        wp_model=getattr(args, "wp_model", None),
+        batch_size=args.batch_size, batch_size_type=args.batch_size_type,
+        dynamic_batching=args.dynamic_batching,
+        min_n_frames=args.min_n_frames, max_n_frames=args.max_n_frames,
+        subsample_factor=1, seed=args.seed,
+        # coarse padding grid: few distinct compiled shapes (TPU-first)
+        pad_xlen_multiple=getattr(args, "pad_xlen_multiple", 128),
+        pad_ylen_multiple=getattr(args, "pad_ylen_multiple", 32),
+        pad_batch_multiple=max(len(jax.devices()), 1))
+    train_set = build_dataloader(args.train_set, bucketing=args.bucketing,
+                                 **loader_kw)
+    dev_set = build_dataloader(args.dev_set, bucketing="sort", is_test=True,
+                               **loader_kw)
+    args.vocab = train_set.vocab
+    args.input_dim = int(train_set.dataset.df["xdim"].iloc[0]) \
+        if "xdim" in train_set.dataset.df else args.input_dim
+
+    model = build_speech2text(args)
+    batch0 = next(iter(train_set))
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           jnp.asarray(batch0["xs"]),
+                           jnp.asarray(batch0["xlens"]),
+                           jnp.asarray(batch0["ys"]),
+                           jnp.asarray(batch0["ylens"]))
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info("#params: %.2fM", n_params / 1e6)
+
+    controller = EpochController(
+        base_lr=args.lr, decay_type=args.lr_decay_type,
+        decay_rate=args.lr_decay_rate,
+        decay_patient_n_epochs=args.lr_decay_patient_n_epochs,
+        decay_start_epoch=args.lr_decay_start_epoch,
+        early_stop_patient_n_epochs=args.early_stop_patient_n_epochs)
+    tx = build_optimizer(args.optimizer, lr=args.lr,
+                         weight_decay=args.weight_decay,
+                         clip_grad_norm=args.clip_grad_norm,
+                         schedule=make_schedule(args),
+                         accum_grad_n_steps=args.accum_grad_n_steps)
+    opt_state = tx.init(params)
+
+    start_epoch = 1
+    if args.resume:
+        from ...trainers.checkpoint import restore_like
+        ck = load_checkpoint(args.resume)
+        params = restore_like(params, ck["params"])
+        if "opt_state" in ck:
+            opt_state = restore_like(opt_state, ck["opt_state"])
+        if "controller" in ck:
+            controller.load_state_dict(ck["controller"])
+        start_epoch = controller.epoch + 1
+        logger.info("resumed from %s (epoch %d)", args.resume, start_epoch)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+    step_fn = make_train_step(model, tx, mesh)
+
+    save_config(vars(args), os.path.join(save_dir, "conf.yml"))
+    for aux in ("dict", "wp_model"):
+        p = getattr(args, aux, None)
+        if p and os.path.exists(p):
+            import shutil
+            shutil.copy(p, save_dir)
+
+    reporter = Reporter(save_dir)
+    rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(start_epoch, args.n_epochs + 1):
+        train_set.set_epoch(epoch)
+        t0 = time.time()
+        for i, batch in enumerate(train_set):
+            rng, key = jax.random.split(rng)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, key,
+                jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+                jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+            reporter.add_observation(metrics)
+            reporter.step_forward()
+            if reporter.step % args.print_step == 0:
+                logger.info(
+                    "step %d (ep %d): loss %.3f (%.1f utt/s)",
+                    reporter.step, epoch, float(metrics["loss"]),
+                    (i + 1) * len(batch["utt_ids"]) / (time.time() - t0))
+
+        # validation
+        dev_loss, n_batches = 0.0, 0
+        for batch in dev_set:
+            loss, obs = model.apply(
+                {"params": params},
+                jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+                jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+            reporter.add_observation(obs, is_eval=True)
+            dev_loss += float(loss)
+            n_batches += 1
+        dev_loss /= max(n_batches, 1)
+        actions = controller.step_epoch(dev_loss)
+        row = reporter.epoch_summary(epoch, {"dev_loss_mean": dev_loss,
+                                             "lr": actions["lr"]})
+        logger.info("epoch %d: dev loss %.3f (%.1fs)%s", epoch, dev_loss,
+                    time.time() - t0,
+                    " *best*" if actions["is_best"] else "")
+        keep = controller.topk_epochs(args.n_keep_best_checkpoints)
+        save_checkpoint(save_dir, epoch, params, opt_state,
+                        controller.state_dict(), keep_epochs=keep)
+        reporter.snapshot()
+        if actions["early_stop"]:
+            logger.info("early stop at epoch %d", epoch)
+            break
+    return save_dir
+
+
+if __name__ == "__main__":
+    main()

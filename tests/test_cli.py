@@ -1,0 +1,108 @@
+"""CLI integration: train/eval for ASR and LM on the ci corpus, resume,
+checkpoint averaging — the reference's test_training.sh analog."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from neural_sp_tpu.bin.asr import train as asr_train
+from neural_sp_tpu.bin.asr import eval as asr_eval
+from neural_sp_tpu.bin.lm import train as lm_train
+from neural_sp_tpu.bin.lm import eval as lm_eval
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from neural_sp_tpu.utils.ci_corpus import make_ci_corpus
+    root = tmp_path_factory.mktemp("cli")
+    return make_ci_corpus(str(root), n_train=16, n_dev=4, n_test=4,
+                          max_words=3, seed=9)
+
+
+@pytest.fixture(scope="module")
+def asr_exp(corpus, tmp_path_factory):
+    exp = str(tmp_path_factory.mktemp("exp_asr"))
+    conf = dict(enc_type="blstm", enc_n_units=24, enc_n_layers=1,
+                dec_type="lstm", dec_n_units=24, dec_n_layers=1, emb_dim=12,
+                dec_bottleneck_dim=24, attn_dim=24, attn_conv_width=9,
+                ctc_weight=0.3, lsm_prob=0.0, unit="char",
+                batch_size=16, bucketing="sort", n_epochs=2,
+                optimizer="adam", lr=3e-3, print_step=5,
+                min_n_frames=1, max_n_frames=10000)
+    conf_path = os.path.join(exp, "base.yml")
+    os.makedirs(exp, exist_ok=True)
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+    save_dir = asr_train.main([
+        "--config", conf_path,
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", exp])
+    return save_dir
+
+
+@pytest.mark.slow
+def test_asr_train_cli_artifacts(asr_exp):
+    assert os.path.exists(os.path.join(asr_exp, "conf.yml"))
+    assert os.path.exists(os.path.join(asr_exp, "ckpt.epoch-2"))
+    assert os.path.exists(os.path.join(asr_exp, "history.csv"))
+    assert os.path.exists(os.path.join(asr_exp, "loss.png"))
+
+
+@pytest.mark.slow
+def test_asr_resume(asr_exp, corpus):
+    save_dir = asr_train.main([
+        "--config", os.path.join(asr_exp, "conf.yml"),
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", asr_exp,
+        "--resume", os.path.join(asr_exp, "ckpt.epoch-2"),
+        "--n_epochs", "3"])
+    assert os.path.exists(os.path.join(save_dir, "ckpt.epoch-3"))
+
+
+@pytest.mark.slow
+def test_asr_eval_cli(asr_exp, corpus, tmp_path):
+    results = asr_eval.main([
+        "--recog_model", asr_exp,
+        "--recog_sets", corpus["test"],
+        "--recog_beam_width", "2",
+        "--recog_ctc_weight", "0.3",
+        "--recog_n_average", "2",
+        "--recog_dir", str(tmp_path)])
+    m = list(results.values())[0]
+    assert m["n_utts"] == 4 and 0 <= m["wer"]
+    assert m["rtf"] > 0
+
+
+@pytest.fixture(scope="module")
+def lm_exp(corpus, tmp_path_factory):
+    exp = str(tmp_path_factory.mktemp("exp_lm"))
+    return lm_train.main([
+        "--train_set", corpus["train_word"], "--dev_set", corpus["dev_word"],
+        "--dict", corpus["dict_word"], "--model_save_dir", exp,
+        "--lm_type", "lstm", "--unit", "word", "--n_units", "24",
+        "--n_layers", "1", "--emb_dim", "12", "--batch_size", "4",
+        "--bptt", "10", "--n_epochs", "2", "--lr", "3e-3"])
+
+
+@pytest.mark.slow
+def test_lm_train_and_eval_cli(lm_exp, corpus):
+    assert os.path.exists(os.path.join(lm_exp, "ckpt.epoch-2"))
+    results = lm_eval.main([
+        "--recog_model", lm_exp, "--recog_sets", corpus["test_word"]])
+    m = list(results.values())[0]
+    assert m["ppl"] > 0 and np.isfinite(m["ppl"])
+
+
+def test_model_name():
+    from types import SimpleNamespace
+    from neural_sp_tpu.bin.model_name import set_asr_model_name, set_lm_name
+    name = set_asr_model_name(SimpleNamespace(
+        enc_type="conv_conformer", conv_channels="32_32", enc_n_layers=12,
+        transformer_d_model=512, dec_type="lstm", ctc_weight=0.3,
+        lsm_prob=0.1, optimizer="noam", lr=5.0, batch_size=24000,
+        n_freq_masks=2, freq_width=27, time_width=100, n_time_masks=2))
+    assert "conformer" in name and "ctc0.3" in name and "specaug" in name
+    assert set_lm_name(SimpleNamespace(lm_type="lstm", n_layers=2,
+                                       n_units=1024, emb_dim=1024,
+                                       bptt=64))
