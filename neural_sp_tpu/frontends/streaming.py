@@ -1,0 +1,77 @@
+"""Streaming interface: block extraction + CTC-VAD reset detection.
+
+Reference: ``neural_sp/models/seq2seq/frontends/streaming.py:10-218``
+(extract_feat :111-157, ctc_reset_point_detection :159-218).
+
+The driver slices fixed-geometry feature blocks (conv left context +
+current + lookahead, zero-padded at the edges) so the jitted
+``encoder.streaming_step`` sees one static shape for the whole stream.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class StreamingDriver:
+    def __init__(self, x_whole: np.ndarray, block_total_in: int,
+                 block_hop_in: int, cnn_ctx_in: int):
+        """x_whole: [T, D]; block_total_in = cnn_ctx + (N_c+N_r)*f;
+        block_hop_in = N_c*f (new frames consumed per block)."""
+        self.x = np.asarray(x_whole, np.float32)
+        self.total = block_total_in
+        self.hop = block_hop_in
+        self.cnn_ctx = cnn_ctx_in
+        self.offset = 0
+
+    def __iter__(self):
+        t = self.x.shape[0]
+        d = self.x.shape[1]
+        while self.offset < t:
+            start = self.offset - self.cnn_ctx
+            end = self.offset + (self.total - self.cnn_ctx)
+            block = np.zeros((self.total, d), np.float32)
+            lo, hi = max(start, 0), min(end, t)
+            block[lo - start: lo - start + hi - lo] = self.x[lo:hi]
+            n_new = min(self.hop, t - self.offset)
+            is_last = self.offset + self.hop >= t
+            self.offset += self.hop
+            yield block, n_new, is_last
+
+    def reset(self, offset: int | None = None):
+        self.offset = self.offset if offset is None else offset
+
+
+def ctc_reset_point_detection(
+    ctc_topk_ids: np.ndarray,
+    blank: int = 0,
+    blank_threshold: int = 40,
+    spike_threshold: float = 0.1,
+    ctc_probs: np.ndarray | None = None,
+    n_accum_frames: int = 0,
+    min_accum_frames: int = 1600,
+) -> tuple[bool, int]:
+    """CTC-VAD: detect a reset point inside a block
+    (reference streaming.py:159-218).
+
+    ctc_topk_ids: [T_block] argmax ids for the block; a reset fires when a
+    run of >= blank_threshold blank frames follows at least one non-blank
+    spike (prob >= spike_threshold if ctc_probs given) and enough frames
+    accumulated. Returns (is_reset, boundary_offset_in_block).
+    """
+    t = len(ctc_topk_ids)
+    if n_accum_frames < min_accum_frames:
+        return False, -1
+    run = 0
+    saw_spike = False
+    for i in range(t):
+        is_blank = ctc_topk_ids[i] == blank
+        if not is_blank:
+            if ctc_probs is None or \
+                    ctc_probs[i].max() >= spike_threshold:
+                saw_spike = True
+            run = 0
+        else:
+            run += 1
+            if saw_spike and run >= blank_threshold:
+                return True, i
+    return False, -1

@@ -65,4 +65,15 @@ def build_decoder(args, vocab: int, enc_n_units: int,
         dropout_att=_get(args, "dropout_att", 0.0),
         lsm_prob=_get(args, "lsm_prob", 0.0),
         ss_prob=_get(args, "ss_prob", 0.0),
+        mocha_chunk_size=_get(args, "mocha_chunk_size", 1),
+        mocha_n_heads_mono=_get(args, "mocha_n_heads_mono", 1),
+        mocha_n_heads_chunk=_get(args, "mocha_n_heads_chunk", 1),
+        mocha_init_r=_get(args, "mocha_init_r", -4.0),
+        mocha_noise_std=_get(args, "mocha_std", 1.0),
+        mocha_no_denominator=_get(args, "mocha_no_denominator", False),
+        mocha_eps_wait=_get(args, "mocha_eps_wait", -1),
+        mocha_stableemit_weight=_get(args, "mocha_stableemit_weight", 0.0),
+        quantity_loss_weight=_get(args, "mocha_quantity_loss_weight", 0.0),
+        latency_metric=_get(args, "mocha_latency_metric", "") or "",
+        latency_loss_weight=_get(args, "mocha_latency_loss_weight", 0.0),
         backward=backward)

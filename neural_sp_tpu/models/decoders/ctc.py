@@ -160,6 +160,82 @@ def ctc_prefix_beam_search(
     return sorted(results, key=lambda d: -d["score"])
 
 
+class CTCBlockSyncBeam:
+    """Block-synchronous (resumable) CTC prefix beam search
+    (reference ``beam_search_block_sync`` ctc.py:485-531).
+
+    Feed posterior blocks as they arrive with ``step``; ``hypotheses`` gives
+    the current n-best; ``commit_and_reset`` finalises the running best
+    (CTC-VAD segment boundary) and restarts the beam for the next segment.
+    """
+
+    def __init__(self, beam_width: int = 10, blank: int = BLANK,
+                 lm_fn=None, lm_weight: float = 0.0):
+        self.beam_width = beam_width
+        self.blank = blank
+        self.lm_fn = lm_fn
+        self.lm_weight = lm_weight
+        self.committed: list[int] = []
+        self._reset_beam()
+
+    def _reset_beam(self):
+        self.beam = {(): (0.0, LOG0, 0.0)}
+
+    def step(self, log_probs_block: np.ndarray, n_frames: int | None = None):
+        lp_all = np.asarray(log_probs_block)
+        t_max = n_frames if n_frames is not None else lp_all.shape[0]
+        for t in range(t_max):
+            lp = lp_all[t]
+            topk = np.argsort(lp)[::-1][: max(self.beam_width * 2, 8)]
+            new_beam: dict = {}
+
+            def add(prefix, pb, pnb, plm):
+                if prefix in new_beam:
+                    opb, opnb, _ = new_beam[prefix]
+                    new_beam[prefix] = (_logsumexp(opb, pb),
+                                        _logsumexp(opnb, pnb), plm)
+                else:
+                    new_beam[prefix] = (pb, pnb, plm)
+
+            for prefix, (pb, pnb, plm) in self.beam.items():
+                p_total = _logsumexp(pb, pnb)
+                add(prefix, p_total + lp[self.blank],
+                    LOG0 if not prefix else pnb + lp[prefix[-1]], plm)
+                lm_row = None
+                for k in topk:
+                    k = int(k)
+                    if k == self.blank:
+                        continue
+                    if prefix and k == prefix[-1]:
+                        p_new = pb + lp[k]
+                    else:
+                        p_new = p_total + lp[k]
+                    plm_new = plm
+                    if self.lm_fn is not None and self.lm_weight > 0:
+                        if lm_row is None:
+                            lm_row = self.lm_fn(prefix)
+                        plm_new = plm + float(lm_row[k])
+                    add(prefix + (k,), LOG0, p_new, plm_new)
+            scored = sorted(
+                new_beam.items(),
+                key=lambda kv: -(_logsumexp(kv[1][0], kv[1][1])
+                                 + self.lm_weight * kv[1][2]))
+            self.beam = dict(scored[: self.beam_width])
+
+    def hypotheses(self) -> list[dict]:
+        out = []
+        for prefix, (pb, pnb, plm) in self.beam.items():
+            out.append({"hyp": self.committed + list(prefix),
+                        "score": _logsumexp(pb, pnb) + self.lm_weight * plm})
+        return sorted(out, key=lambda d: -d["score"])
+
+    def commit_and_reset(self):
+        best = self.hypotheses()[0]["hyp"]
+        self.committed = best
+        self._reset_beam()
+        return best
+
+
 class CTCPrefixScorer:
     """Watanabe-style joint CTC/attention prefix scorer (reference
     CTCPrefixScore ctc.py:756-871), vectorized over candidate tokens.

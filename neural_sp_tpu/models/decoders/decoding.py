@@ -294,7 +294,10 @@ class Speech2TextSession:
 
             par = jnp.asarray(parents, jnp.int32)
             carry = jax.tree.map(lambda x: x[par], carry)
-            aw_sums = aw_sums[parents] + np.asarray(aw)[parents]
+            aw_np = np.asarray(aw)
+            if aw_np.ndim == 3:   # MoChA/MMA: [beam, H, T] -> head mean
+                aw_np = aw_np.mean(1)
+            aw_sums = aw_sums[parents] + aw_np[parents]
             if self.lm is not None:
                 lm_states = [jax.tree.map(lambda x: x, lm_states[p])
                              for p in parents]
@@ -454,6 +457,65 @@ class Speech2TextSession:
         if self.conf.beam_width <= 1 and isinstance(self.dec, RNNDecoder):
             return self.decode_attention_greedy(xs, xlens)
         return self.decode_attention_beam(xs, xlens)
+
+    # ------------------------------------------------------------------ #
+    def decode_streaming(self, x_whole, blank_threshold: int = 40,
+                         min_accum_frames: int = 0):
+        """Block-synchronous streaming decode of ONE utterance
+        (reference ``Speech2Text.decode_streaming`` speech2text.py:550-698):
+        chunked encoder with explicit caches + block-sync CTC prefix beam +
+        CTC-VAD segment resets.
+
+        x_whole: [T, D] features. Returns (hyp ids, stats dict with rtf/...).
+        """
+        import time
+        from ...frontends.streaming import (
+            StreamingDriver, ctc_reset_point_detection)
+        from .ctc import CTCBlockSyncBeam
+        from ..encoders.transformer import XformerEncoder
+
+        enc = self.model.encoder
+        assert isinstance(enc, XformerEncoder), \
+            "decode_streaming currently drives Xformer encoders"
+        total_in, hop_in = enc.block_input_frames()
+        _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
+
+        if not hasattr(self, "_stream_step"):
+            self._stream_step = jax.jit(
+                lambda xb, cache: self.model.apply(
+                    {"params": self.params}, xb, cache,
+                    method=lambda m, xb, c: m.encoder.streaming_step(xb, c)))
+        cache = enc.init_stream_cache(1)
+        lm_fn = self._make_ctc_lm_fn() if (
+            self.lm is not None and self.conf.lm_weight > 0) else None
+        beam = CTCBlockSyncBeam(self.conf.beam_width,
+                                lm_fn=lm_fn, lm_weight=self.conf.lm_weight)
+        driver = StreamingDriver(x_whole, total_in, hop_in, cnn_ctx_in)
+
+        t0 = time.time()
+        n_frames = 0
+        n_resets = 0
+        factor = enc.subsampling_factor
+        for block, n_new, is_last in driver:
+            eouts_blk, cache = self._stream_step(
+                jnp.asarray(block)[None], cache)
+            n_out = -(-n_new // factor)
+            lp = np.asarray(self._ctc_logp(eouts_blk))[0][:n_out]
+            beam.step(lp)
+            n_frames += n_new
+            is_reset, _ = ctc_reset_point_detection(
+                np.argmax(lp, -1), blank_threshold=blank_threshold,
+                ctc_probs=np.exp(lp), n_accum_frames=n_frames,
+                min_accum_frames=min_accum_frames or 10**9)
+            if is_reset and not is_last:
+                beam.commit_and_reset()
+                cache = enc.init_stream_cache(1)
+                n_resets += 1
+        hyp = beam.hypotheses()[0]["hyp"]
+        elapsed = time.time() - t0
+        stats = {"rtf": elapsed / max(n_frames * 0.01, 1e-6),
+                 "n_resets": n_resets, "n_frames": n_frames}
+        return hyp, stats
 
     # ------------------------------------------------------------------ #
     def decode_transducer_greedy(self, xs, xlens, max_symbols: int = 3):

@@ -53,6 +53,15 @@ class LASStep(nn.Module):
     dropout_emb: float = 0.0
     dropout_att: float = 0.0
     ss_prob: float = 0.0
+    # MoChA / MMA (attn_type == "mocha")
+    mocha_chunk_size: int = 1
+    mocha_n_heads_mono: int = 1
+    mocha_n_heads_chunk: int = 1
+    mocha_init_r: float = -4.0
+    mocha_noise_std: float = 1.0
+    mocha_no_denominator: bool = False
+    mocha_eps_wait: int = -1
+    mocha_stableemit_weight: float = 0.0
 
     def setup(self):
         self.embed = nn.Embed(self.vocab, self.emb_dim)
@@ -64,7 +73,19 @@ class LASStep(nn.Module):
             self.projs = [nn.Dense(self.n_projs)
                           for _ in range(self.n_layers)]
         qdim = self.n_projs if self.n_projs > 0 else self.n_units
-        if self.attn_type == "gmm":
+        if self.attn_type == "mocha":
+            from ..modules.mocha import MoChA
+            self.attn = MoChA(
+                kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
+                chunk_size=self.mocha_chunk_size,
+                n_heads_mono=self.mocha_n_heads_mono,
+                n_heads_chunk=self.mocha_n_heads_chunk,
+                init_r=self.mocha_init_r, noise_std=self.mocha_noise_std,
+                no_denominator=self.mocha_no_denominator,
+                eps_wait=self.mocha_eps_wait,
+                stableemit_weight=self.mocha_stableemit_weight,
+                external_keys=True)
+        elif self.attn_type == "gmm":
             self.attn = GMMAttention(kdim=self.enc_n_units, qdim=qdim,
                                      adim=self.attn_dim)
         else:
@@ -106,7 +127,15 @@ class LASStep(nn.Module):
             douts.append(h)
 
         query = douts[0]  # dout_score: first-layer output (reference :778)
-        if self.attn_type == "gmm":
+        if self.attn_type == "mocha":
+            # aw_prev: [B, H_ma, Tk]; hard mode at inference (parity with the
+            # reference's train/eval mode switch)
+            ctx, alpha, beta = self.attn(
+                key_cache, query, aw_prev,
+                mode="hard" if deterministic else "parallel",
+                mask=mask, deterministic=deterministic)
+            aw_new, aw = alpha, alpha
+        elif self.attn_type == "gmm":
             ctx, aw, myu = self.attn(values, values, query, mask,
                                      myu_prev=aw_prev[:, :self.attn.n_mixtures])
             aw_new = jnp.zeros_like(aw_prev).at[:, :self.attn.n_mixtures].set(myu)
@@ -145,6 +174,18 @@ class RNNDecoder(nn.Module):
     lsm_prob: float = 0.0
     ss_prob: float = 0.0
     backward: bool = False
+    # MoChA / MMA
+    mocha_chunk_size: int = 1
+    mocha_n_heads_mono: int = 1
+    mocha_n_heads_chunk: int = 1
+    mocha_init_r: float = -4.0
+    mocha_noise_std: float = 1.0
+    mocha_no_denominator: bool = False
+    mocha_eps_wait: int = -1
+    mocha_stableemit_weight: float = 0.0
+    quantity_loss_weight: float = 0.0
+    latency_metric: str = ""         # '' | minlt | ctc_sync
+    latency_loss_weight: float = 0.0
 
     def setup(self):
         fields = dict(
@@ -158,7 +199,15 @@ class RNNDecoder(nn.Module):
             attn_sigmoid_smoothing=self.attn_sigmoid_smoothing,
             bottleneck_dim=self.bottleneck_dim, dropout=self.dropout,
             dropout_emb=self.dropout_emb, dropout_att=self.dropout_att,
-            ss_prob=self.ss_prob)
+            ss_prob=self.ss_prob,
+            mocha_chunk_size=self.mocha_chunk_size,
+            mocha_n_heads_mono=self.mocha_n_heads_mono,
+            mocha_n_heads_chunk=self.mocha_n_heads_chunk,
+            mocha_init_r=self.mocha_init_r,
+            mocha_noise_std=self.mocha_noise_std,
+            mocha_no_denominator=self.mocha_no_denominator,
+            mocha_eps_wait=self.mocha_eps_wait,
+            mocha_stableemit_weight=self.mocha_stableemit_weight)
         self.step_scan = nn.scan(
             LASStep,
             variable_broadcast="params",
@@ -167,7 +216,17 @@ class RNNDecoder(nn.Module):
                      nn.broadcast),
             out_axes=1)(**fields, name="step")
         # attention key projection hoisted out of the scan
-        if self.attn_type in ("location", "add"):
+        if self.attn_type == "mocha":
+            h_ma, h_ca = self.mocha_n_heads_mono, self.mocha_n_heads_chunk
+            self.key_proj_mono = nn.Dense(self.attn_dim * h_ma,
+                                          use_bias=False)
+            if self.mocha_chunk_size != 1:
+                self.key_proj_chunk = nn.Dense(self.attn_dim * h_ma * h_ca,
+                                               use_bias=False)
+            self.key_proj_value = nn.Dense(self.attn_dim * h_ma * h_ca,
+                                           use_bias=False)
+            self.key_proj = None
+        elif self.attn_type in ("location", "add"):
             self.key_proj = nn.Dense(self.attn_dim, use_bias=False)
         elif self.attn_type == "luong_general":
             qdim = self.n_projs if self.n_projs > 0 else self.n_units
@@ -176,6 +235,12 @@ class RNNDecoder(nn.Module):
             self.key_proj = None
 
     def _key_cache(self, eouts):
+        if self.attn_type == "mocha":
+            kc = {"mono": self.key_proj_mono(eouts),
+                  "value": self.key_proj_value(eouts)}
+            if self.mocha_chunk_size != 1:
+                kc["chunk"] = self.key_proj_chunk(eouts)
+            return kc
         return self.key_proj(eouts) if self.key_proj is not None else eouts
 
     def init_carry(self, bs: int, tmax: int, dtype=jnp.float32):
@@ -183,7 +248,11 @@ class RNNDecoder(nn.Module):
             (jnp.zeros((bs, self.n_units), dtype),
              jnp.zeros((bs, self.n_units), dtype))
             for _ in range(self.n_layers))
-        aw0 = jnp.zeros((bs, tmax), dtype)
+        if self.attn_type == "mocha":
+            aw0 = jnp.zeros((bs, self.mocha_n_heads_mono, tmax),
+                            dtype).at[:, :, 0].set(1.0)
+        else:
+            aw0 = jnp.zeros((bs, tmax), dtype)
         ctx0 = jnp.zeros((bs, self.enc_n_units), dtype)
         logits0 = jnp.zeros((bs, self.vocab), dtype)
         return (states, aw0, ctx0, logits0)
@@ -202,6 +271,35 @@ class RNNDecoder(nn.Module):
                                       ignore_index=PAD)
         acc = compute_accuracy(logits, ys_out, ignore_index=PAD)
         obs = {"loss_att": loss, "acc_att": acc, "ppl_att": jnp.exp(nll)}
+
+        if self.attn_type == "mocha" and not deterministic:
+            # aws: [B, U+1, H, T] expected alignments
+            u_idx = jnp.arange(aws.shape[1])[None]
+            valid = (u_idx < ylens[:, None] + 1).astype(jnp.float32)
+            alpha_mass = jnp.sum(aws.astype(jnp.float32),
+                                 axis=(2, 3)) / aws.shape[2]  # [B, U+1]
+            if self.quantity_loss_weight > 0:
+                # |sum of alignment mass - #tokens| (reference las.py:736-742)
+                qty = jnp.abs(jnp.sum(alpha_mass * valid, axis=1)
+                              - (ylens + 1).astype(jnp.float32))
+                loss_qty = jnp.mean(qty)
+                loss = loss + self.quantity_loss_weight * loss_qty
+                obs["loss_quantity"] = loss_qty
+            if self.latency_metric in ("minlt", "ctc_sync") and \
+                    self.latency_loss_weight > 0 and trigger_points is not None:
+                # expected boundary per step vs forced-alignment triggers
+                t_idx = jnp.arange(eouts.shape[1])[None, None, None]
+                exp_bd = jnp.sum(
+                    aws.astype(jnp.float32) * t_idx, axis=3).mean(2)  # [B,U+1]
+                tp = trigger_points.astype(jnp.float32)
+                u_tok = jnp.arange(aws.shape[1])[None]
+                valid_tok = (u_tok < ylens[:, None]).astype(jnp.float32)
+                tp_pad = jnp.pad(tp, ((0, 0),
+                                      (0, max(aws.shape[1] - tp.shape[1], 0))))
+                lat = jnp.abs(exp_bd - tp_pad[:, :aws.shape[1]]) * valid_tok
+                loss_lat = jnp.sum(lat) / jnp.maximum(jnp.sum(valid_tok), 1.0)
+                loss = loss + self.latency_loss_weight * loss_lat
+                obs["loss_latency"] = loss_lat
         if return_logits:
             obs["logits"] = logits
             obs["aws"] = aws

@@ -67,7 +67,7 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, xs, mask=None, pad_mask=None, cache=None,
                  conv_cache=None, deterministic: bool = True,
-                 return_weights: bool = False):
+                 return_weights: bool = False, conv_cur_len: int | None = None):
         new_caches = {}
         is_conf = self.btype.startswith("conformer")
         fx = 0.5 if is_conf else 1.0
@@ -93,7 +93,7 @@ class EncoderBlock(nn.Module):
             h, cc = ConformerConvBlock(
                 self.d_model, self.conv_kernel_size, self.causal,
                 self.conv_normalization, name="conv")(
-                h, pad_mask, conv_cache, deterministic)
+                h, pad_mask, conv_cache, deterministic, conv_cur_len)
             return drop_path(
                 xs + nn.Dropout(self.dropout)(h, deterministic=deterministic),
                 xs), cc
@@ -196,30 +196,63 @@ class XformerEncoder(nn.Module):
             kernel_sizes=self.conv_kernel_sizes, strides=self.conv_strides,
             poolings=self.conv_poolings,
             normalization=self.conv_frontend_normalization,
-            bottleneck_dim=self.d_model, name="conv")
+            bottleneck_dim=self.d_model)
 
-    def _block(self, lth: int) -> EncoderBlock:
-        # deeper layers dropped more (reference transformer.py:226)
-        p = self.dropout_layer * (lth + 1) / max(self.n_layers, 1)
-        return EncoderBlock(
-            d_model=self.d_model, d_ff=self.d_ff, n_heads=self.n_heads,
-            btype=self.btype, dropout=self.dropout,
-            dropout_att=self.dropout_att, dropout_layer=p,
-            pe_type=self.pe_type, clamp_len=self.clamp_len,
-            ffn_activation=self.ffn_activation,
-            ffn_bottleneck_dim=self.ffn_bottleneck_dim,
-            conv_kernel_size=self.conv_kernel_size,
-            conv_normalization=self.conv_normalization,
-            causal=self.unidirectional, name=f"block{lth}")
+    def setup(self):
+        if self.conv_channels:
+            self.conv = self._conv()
+        else:
+            self.embed = nn.Dense(self.d_model)
+        self.pos_enc = PositionalEncoding(
+            self.d_model,
+            "add" if self.pe_type in ("add", "1dconv3L_add") else "none",
+            self.dropout)
+        self.drop_in = nn.Dropout(self.dropout_in)
+        blocks = []
+        for lth in range(self.n_layers):
+            # deeper layers dropped more (reference transformer.py:226)
+            p = self.dropout_layer * (lth + 1) / max(self.n_layers, 1)
+            blocks.append(EncoderBlock(
+                d_model=self.d_model, d_ff=self.d_ff, n_heads=self.n_heads,
+                btype=self.btype, dropout=self.dropout,
+                dropout_att=self.dropout_att, dropout_layer=p,
+                pe_type=self.pe_type, clamp_len=self.clamp_len,
+                ffn_activation=self.ffn_activation,
+                ffn_bottleneck_dim=self.ffn_bottleneck_dim,
+                conv_kernel_size=self.conv_kernel_size,
+                conv_normalization=self.conv_normalization,
+                causal=self.unidirectional))
+        self.blocks = blocks
+        factors = list(self.subsample) or [1] * self.n_layers
+        self.subsamplers = [
+            build_subsampler(self.subsample_type, factors[lth], self.d_model)
+            if factors[lth] > 1 else None for lth in range(self.n_layers)]
+        for sub, n_sub in (("sub1", self.n_layers_sub1),
+                           ("sub2", self.n_layers_sub2)):
+            if n_sub > 0:
+                if self.task_specific_layer:
+                    setattr(self, f"block_{sub}_tsl", EncoderBlock(
+                        d_model=self.d_model, d_ff=self.d_ff,
+                        n_heads=self.n_heads, btype=self.btype,
+                        dropout=self.dropout, pe_type=self.pe_type,
+                        clamp_len=self.clamp_len,
+                        ffn_activation=self.ffn_activation,
+                        conv_kernel_size=self.conv_kernel_size))
+                setattr(self, f"norm_out_{sub}", nn.LayerNorm())
+                if self.last_proj_dim > 0:
+                    setattr(self, f"bridge_{sub}",
+                            nn.Dense(self.last_proj_dim))
+        self.norm_out = nn.LayerNorm()
+        if self.last_proj_dim > 0:
+            self.bridge = nn.Dense(self.last_proj_dim)
 
-    @nn.compact
     def __call__(self, xs, xlens, task: str = "all",
                  deterministic: bool = True, return_weights: bool = False):
-        xs = nn.Dropout(self.dropout_in)(xs, deterministic=deterministic)
+        xs = self.drop_in(xs, deterministic=deterministic)
         if self.conv_channels:
-            xs, xlens = self._conv()(xs, xlens, deterministic)
+            xs, xlens = self.conv(xs, xlens, deterministic)
         else:
-            xs = nn.Dense(self.d_model, name="embed")(xs)
+            xs = self.embed(xs)
         factor = self.conv_factor
 
         bs, t_in = xs.shape[0], xs.shape[1]
@@ -235,10 +268,7 @@ class XformerEncoder(nn.Module):
             nl_eff = max(n_l, 0)
             xs = chunkwise(xs, nl_eff, n_c, n_r)
 
-        xs = PositionalEncoding(
-            self.d_model,
-            "add" if self.pe_type in ("add", "1dconv3L_add") else "none",
-            self.dropout, name="pos_enc")(xs, 0, deterministic)
+        xs = self.pos_enc(xs, 0, deterministic)
 
         if reshape_mode:
             mask = None
@@ -258,7 +288,7 @@ class XformerEncoder(nn.Module):
         subsample = list(self.subsample) or [1] * self.n_layers
         h = xs
         for lth in range(self.n_layers):
-            h, _, aws = self._block(lth)(
+            h, _, aws = self.blocks[lth](
                 h, mask, pad_mask, deterministic=deterministic,
                 return_weights=return_weights)
             if return_weights:
@@ -269,19 +299,12 @@ class XformerEncoder(nn.Module):
                 if lth == n_sub - 1 and n_sub > 0:
                     h_sub = h
                     if self.task_specific_layer:
-                        h_sub, _, _ = EncoderBlock(
-                            d_model=self.d_model, d_ff=self.d_ff,
-                            n_heads=self.n_heads, btype=self.btype,
-                            dropout=self.dropout, pe_type=self.pe_type,
-                            clamp_len=self.clamp_len,
-                            ffn_activation=self.ffn_activation,
-                            conv_kernel_size=self.conv_kernel_size,
-                            name=f"block_{sub}_tsl")(
-                            h_sub, mask, pad_mask, deterministic=deterministic)
-                    h_sub = nn.LayerNorm(name=f"norm_out_{sub}")(h_sub)
+                        h_sub, _, _ = getattr(self, f"block_{sub}_tsl")(
+                            h_sub, mask, pad_mask,
+                            deterministic=deterministic)
+                    h_sub = getattr(self, f"norm_out_{sub}")(h_sub)
                     if self.last_proj_dim > 0:
-                        h_sub = nn.Dense(self.last_proj_dim,
-                                         name=f"bridge_{sub}")(h_sub)
+                        h_sub = getattr(self, f"bridge_{sub}")(h_sub)
                     if reshape_mode:
                         h_sub = chunkwise_merge(
                             h_sub, bs, max(n_l, 0), n_c, n_r, t_in)
@@ -291,8 +314,7 @@ class XformerEncoder(nn.Module):
 
             if subsample[lth] > 1:
                 assert not streaming, "interlayer subsample + streaming modes"
-                h, xlens = build_subsampler(
-                    self.subsample_type, subsample[lth], self.d_model)(h, xlens)
+                h, xlens = self.subsamplers[lth](h, xlens)
                 pad_mask = make_pad_mask(xlens, h.shape[1])
                 if self.unidirectional:
                     mask = make_san_mask(pad_mask) & causal_mask(
@@ -300,12 +322,113 @@ class XformerEncoder(nn.Module):
                 else:
                     mask = make_san_mask(pad_mask)
 
-        h = nn.LayerNorm(name="norm_out")(h)
+        h = self.norm_out(h)
         if self.last_proj_dim > 0:
-            h = nn.Dense(self.last_proj_dim, name="bridge")(h)
+            h = self.bridge(h)
         if reshape_mode:
             h = chunkwise_merge(h, bs, max(n_l, 0), n_c, n_r, t_in)
         eouts["ys"] = {"xs": h, "xlens": xlens}
         if return_weights:
             eouts["aws"] = aws_all
         return eouts
+
+    # ---- streaming inference (explicit per-layer caches) -----------------
+    # Replaces the reference's mutable per-layer self.cache
+    # (transformer.py:370-417, calculate_cache_size :392-404). Right-context
+    # (lookahead) frames are attended within the block but never cached
+    # (Emformer-style), so per-block cost is O(1) and cache shapes are fixed
+    # (zero-padded + validity mask -> no recompiles across blocks).
+
+    def stream_geometry(self):
+        """(conv factor f, cnn_ctx_in, n_l, n_c, n_r) — the latter three in
+        encoder (post-conv) frames; cnn_ctx_in in input frames."""
+        f = self.conv_factor
+        n_c_in = self.chunk_size_current
+        n_r_in = max(self.chunk_size_right, 0)
+        n_l_in = self.chunk_size_left if self.chunk_size_left > 0 else 0
+        assert n_c_in > 0, "streaming requires chunk_size_current > 0"
+        assert n_c_in % f == 0 and n_l_in % f == 0 and n_r_in % f == 0, \
+            "streaming chunk sizes must be multiples of the conv factor"
+        cnn_ctx_in = 0
+        if self.conv_channels:
+            # conv left context in input frames (no module construction —
+            # this runs inside bound methods)
+            from .conv import parse_cnn_config
+            cfg = parse_cnn_config(self.conv_channels, self.conv_kernel_sizes,
+                                   self.conv_strides, self.conv_poolings)
+            left = 0
+            fac = 1
+            for (kt, _), (st, _), (pt, _) in zip(
+                    cfg.kernel_sizes, cfg.strides, cfg.poolings):
+                left += 2 * ((kt - 1) // 2) * fac
+                fac *= st * max(pt, 1)
+            cnn_ctx_in = -(-left // f) * f
+        return f, cnn_ctx_in, n_l_in // f, n_c_in // f, n_r_in // f
+
+    def block_input_frames(self) -> tuple[int, int]:
+        """(total input frames per block, new frames consumed per block)."""
+        f, cnn_ctx_in, _, n_c, n_r = self.stream_geometry()
+        return cnn_ctx_in + (n_c + n_r) * f, n_c * f
+
+    def init_stream_cache(self, bs: int, dtype=jnp.float32):
+        f, _, n_l, n_c, n_r = self.stream_geometry()
+        dk = self.d_model // self.n_heads
+        layers = []
+        for _ in range(self.n_layers):
+            layer = {"k": jnp.zeros((bs, n_l, self.n_heads, dk), dtype),
+                     "v": jnp.zeros((bs, n_l, self.n_heads, dk), dtype)}
+            if self.btype.startswith("conformer"):
+                layer["conv"] = jnp.zeros(
+                    (bs, self.conv_kernel_size - 1, self.d_model), dtype)
+            layers.append(layer)
+        return {"layers": layers,
+                "len": jnp.zeros((), jnp.int32),
+                "offset": jnp.zeros((), jnp.int32)}
+
+    def streaming_step(self, xs_block, cache, deterministic: bool = True):
+        """One block: xs_block [B, cnn_ctx_in + (N_c+N_r)*f, input_dim]
+        (zero-padded at utterance edges) -> (eouts [B, N_c, d], new_cache).
+        """
+        f, cnn_ctx_in, n_l, n_c, n_r = self.stream_geometry()
+        bs = xs_block.shape[0]
+        blk = n_c + n_r
+        if self.conv_channels:
+            full_lens = jnp.full((bs,), xs_block.shape[1], jnp.int32)
+            h, _ = self.conv(xs_block, full_lens, deterministic)
+            h = h[:, cnn_ctx_in // f: cnn_ctx_in // f + blk]
+        else:
+            h = self.embed(xs_block)[:, :blk]
+        h = self.pos_enc(h, cache["offset"], deterministic)
+
+        # key validity: cache keys [0, n_l) valid iff idx >= n_l - len
+        k_idx = jnp.arange(n_l + blk)[None, None, :]
+        key_valid = (k_idx >= n_l - cache["len"]) | (k_idx >= n_l)
+        # NOTE: within-block attention is bidirectional — the block IS the
+        # chunk, matching `mask`-mode training semantics (chunkwise SAN mask
+        # allows within-chunk lookahead; reference transformer.py:668-686).
+        mask = jnp.broadcast_to(key_valid, (bs, blk, n_l + blk))
+
+        new_layers = []
+        for lth in range(self.n_layers):
+            lc = cache["layers"][lth]
+            h, caches, _ = self.blocks[lth](
+                h, mask, None, cache={"k": lc["k"], "v": lc["v"]},
+                conv_cache=lc.get("conv"), deterministic=deterministic,
+                conv_cur_len=n_c)
+            kv = caches["kv"]
+            new_layer = {
+                "k": kv["k"][:, :n_l + n_c][:, -n_l:] if n_l > 0
+                else kv["k"][:, :0],
+                "v": kv["v"][:, :n_l + n_c][:, -n_l:] if n_l > 0
+                else kv["v"][:, :0]}
+            if "conv" in caches and caches["conv"] is not None:
+                new_layer["conv"] = caches["conv"]
+            new_layers.append(new_layer)
+
+        h = self.norm_out(h)
+        if self.last_proj_dim > 0:
+            h = self.bridge(h)
+        new_cache = {"layers": new_layers,
+                     "len": jnp.minimum(cache["len"] + n_c, n_l),
+                     "offset": cache["offset"] + n_c}
+        return h[:, :n_c], new_cache

@@ -22,8 +22,13 @@ class ConformerConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, pad_mask=None, conv_cache=None,
-                 deterministic: bool = True):
-        """xs: [B, T, D]; pad_mask: [B, T] True=valid. Returns (out, cache)."""
+                 deterministic: bool = True, cur_len: int | None = None):
+        """xs: [B, T, D]; pad_mask: [B, T] True=valid. Returns (out, cache).
+
+        ``cur_len``: in streaming, only the first cur_len frames of ``xs``
+        are the committed current region — the returned cache is the tail of
+        [conv_cache; xs[:cur_len]] so lookahead frames never pollute it.
+        """
         if pad_mask is not None:
             xs = xs * pad_mask[..., None].astype(xs.dtype)
         h = nn.Dense(2 * self.d_model, name="pointwise1",
@@ -42,7 +47,14 @@ class ConformerConvBlock(nn.Module):
         else:
             h_in = h
             pad_l = left
-        new_cache = h_in[:, -left:] if left > 0 else None
+        if left > 0:
+            if cur_len is not None:
+                m = conv_cache.shape[1] if conv_cache is not None else 0
+                new_cache = h_in[:, :m + cur_len][:, -left:]
+            else:
+                new_cache = h_in[:, -left:]
+        else:
+            new_cache = None
         h = nn.Conv(self.d_model, (k,), padding=[(pad_l, right)],
                     feature_group_count=self.d_model, name="depthwise",
                     param_dtype=self.param_dtype)(h_in)

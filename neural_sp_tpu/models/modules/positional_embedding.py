@@ -31,14 +31,21 @@ class PositionalEncoding(nn.Module):
     scale_input: bool = True
 
     @nn.compact
-    def __call__(self, xs: jnp.ndarray, offset: int = 0,
+    def __call__(self, xs: jnp.ndarray, offset=0,
                  deterministic: bool = True) -> jnp.ndarray:
+        """``offset`` may be a python int or a traced scalar (streaming —
+        avoids a recompile per block position)."""
         if self.scale_input:
             xs = xs * jnp.asarray(np.sqrt(self.d_model), xs.dtype)
         if self.pe_type in ("add", "1dconv3L_add"):
-            tab = jnp.asarray(
-                sinusoidal_table(xs.shape[1], self.d_model, offset), xs.dtype)
-            xs = xs + tab[None]
+            pos = (jnp.arange(xs.shape[1], dtype=jnp.float32)
+                   + jnp.asarray(offset, jnp.float32))[:, None]
+            inv = jnp.exp(jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
+                          * -(np.log(10000.0) / self.d_model))
+            tab = jnp.zeros((xs.shape[1], self.d_model), jnp.float32)
+            tab = tab.at[:, 0::2].set(jnp.sin(pos * inv))
+            tab = tab.at[:, 1::2].set(jnp.cos(pos * inv))
+            xs = xs + tab[None].astype(xs.dtype)
         xs = nn.Dropout(self.dropout)(xs, deterministic=deterministic)
         return xs
 

@@ -101,8 +101,15 @@ class Speech2Text(nn.Module):
                 loss += self.ctc_weight * loss_ctc
                 obs["loss_ctc"] = loss_ctc
             if self.dec_fwd is not None and self.fwd_weight > 0:
-                loss_att, obs_att = self.dec_fwd(ex, el, ys, ylens,
-                                                 deterministic)
+                trigger_points = None
+                if getattr(self.dec_fwd, "latency_metric", "") == \
+                        "ctc_sync" and self.ctc is not None:
+                    trigger_points = jax.lax.stop_gradient(
+                        self.ctc.trigger_points(ex, el, ys, ylens))
+                kw = {"trigger_points": trigger_points} \
+                    if trigger_points is not None else {}
+                loss_att, obs_att = self.dec_fwd(
+                    ex, el, ys, ylens, deterministic, **kw)
                 loss += self.fwd_weight * loss_att
                 obs.update(obs_att)
             if self.dec_bwd is not None and self.bwd_weight > 0:
