@@ -46,17 +46,26 @@ class DecodeConfig:
     ilm_weight: float = 0.0          # internal LM subtraction
     softmax_smoothing: float = 1.0
     n_best: int = 1
+    lm_second_weight: float = 0.0    # second-pass n-best rescoring
+    lm_bwd_weight: float = 0.0       # backward-LM rescoring
+    fwd_bwd_attention: bool = False  # merge fwd/bwd decoder n-bests
 
 
 class Speech2TextSession:
     """Wraps (model, params) with jitted encode + per-decoder-step fns."""
 
     def __init__(self, model, params, conf: DecodeConfig | None = None,
-                 lm_session=None):
+                 lm_session=None, ensemble=None):
         self.model = model
         self.params = params
         self.conf = conf or DecodeConfig()
         self.lm = lm_session
+        # ensemble: list of additional Speech2TextSession (same vocab);
+        # their per-step log-probs are averaged into the beam scores
+        # (reference las.py:1219-1237)
+        self.ensemble = ensemble or []
+        self.lm_second = None        # set via attach_second_pass_lms
+        self.lm_bwd = None
         self._encode = jax.jit(
             lambda xs, xlens: model.apply(
                 {"params": params}, xs, xlens, method=model.encode)[0])
@@ -148,16 +157,62 @@ class Speech2TextSession:
         """Batched-beam label-synchronous search, one utterance at a time
         (reference eval protocol, bs=1)."""
         eouts_all = self.encode(xs, xlens)
+        self._ens_eouts = [s.encode(xs, xlens) for s in self.ensemble]
         bs = eouts_all["ys"]["xs"].shape[0]
         results = []
         for b in range(bs):
+            self._b_idx = b
             e = eouts_all["ys"]["xs"][b:b + 1]
             el = eouts_all["ys"]["xlens"][b:b + 1]
             if isinstance(self.dec, TransformerDecoder):
-                results.append(self._beam_one_transformer(e, el)[0])
+                best, nbest = self._beam_one_transformer(e, el)
             else:
-                results.append(self._beam_one_las(e, el)[0])
+                best, nbest = self._beam_one_las(e, el)
+            results.append(self._post_process_nbest(e, el, nbest))
         return results
+
+    def attach_second_pass_lms(self, lm_second=None, lm_bwd=None):
+        self.lm_second = lm_second
+        self.lm_bwd = lm_bwd
+
+    def _tf_score(self, dec_attr: str, e, el, hyp: list[int]) -> float:
+        """Teacher-forced sum log-prob of ``hyp`` under a decoder head."""
+        from ..utils import np_pad_lists
+        key = f"_tf_{dec_attr}"
+        if not hasattr(self, key):
+            setattr(self, key, jax.jit(
+                lambda e, el, ys, ylens: self.model.apply(
+                    {"params": self.params}, e, el, ys, ylens,
+                    method=lambda m, *a: getattr(
+                        m, dec_attr).sequence_log_prob(*a))))
+        ys, ylens = np_pad_lists([hyp], min_len=((len(hyp) + 7) // 8) * 8)
+        return float(getattr(self, key)(
+            e, el, jnp.asarray(ys), jnp.asarray(ylens))[0])
+
+    def _post_process_nbest(self, e, el, nbest: list[list[int]]) -> list[int]:
+        """Second-pass LM / backward-LM rescoring + forward-backward decoder
+        merging over the n-best (reference beam_search.py:115-140,
+        fwd_bwd_attention.py)."""
+        conf = self.conf
+        use_bwd_dec = conf.fwd_bwd_attention and self.model.dec_bwd is not None
+        if not nbest or (self.lm_second is None and self.lm_bwd is None
+                         and not use_bwd_dec):
+            return nbest[0] if nbest else []
+        best, best_score = nbest[0], -np.inf
+        for i, hyp in enumerate(nbest):
+            score = -0.001 * i  # keep original beam ordering as tiebreak
+            if self.lm_second is not None and conf.lm_second_weight > 0:
+                score += conf.lm_second_weight * \
+                    self.lm_second.score_sequence(hyp)
+            if self.lm_bwd is not None and conf.lm_bwd_weight > 0:
+                score += conf.lm_bwd_weight * \
+                    self.lm_bwd.score_sequence(list(reversed(hyp)))
+            if use_bwd_dec:
+                score += self._tf_score("dec_bwd", e, el, hyp)
+                score += self._tf_score("dec_fwd", e, el, hyp)
+            if score > best_score:
+                best, best_score = hyp, score
+        return best
 
     def _ctc_scorer(self, e, el):
         if self.conf.ctc_weight <= 0 or self.model.ctc is None:
@@ -178,6 +233,26 @@ class Speech2TextSession:
         kc = self._keys(e_t)
         carry = dec.init_carry(beam, tmax, e.dtype)
 
+        # internal-LM estimation: a parallel decode with zeroed encoder
+        # context (reference ILM subtraction las.py:1190-1256)
+        use_ilm = conf.ilm_weight > 0
+        if use_ilm:
+            e_zero = jnp.zeros_like(e_t)
+            kc_zero = jax.tree.map(jnp.zeros_like, kc)
+            ilm_carry = dec.init_carry(beam, tmax, e.dtype)
+
+        # ensemble members keep their own encoder outputs and step state
+        ens_state = []
+        for s, eouts_s in zip(self.ensemble, getattr(self, "_ens_eouts", [])):
+            b = getattr(self, "_b_idx", 0)
+            es = jnp.repeat(eouts_s["ys"]["xs"][b:b + 1], beam, axis=0)
+            ens_state.append({
+                "s": s, "e": es, "kc": s._keys(es),
+                "carry": s.dec.init_carry(beam, es.shape[1], es.dtype),
+                "mask": make_pad_mask(
+                    jnp.repeat(eouts_s["ys"]["xlens"][b:b + 1], beam, 0),
+                    es.shape[1])})
+
         ctc_scorer = self._ctc_scorer(e, el)
         ctc_states = [ctc_scorer.initial_state() if ctc_scorer else None] * beam
 
@@ -197,6 +272,23 @@ class Speech2TextSession:
                 conf.softmax_smoothing * logits.astype(jnp.float32), -1))
             V = logp.shape[-1]
 
+            if ens_state:  # average member log-probs (las.py:1219-1237)
+                acc = logp.copy()
+                for st in ens_state:
+                    st["carry"], lg, _ = st["s"]._step(
+                        st["carry"], y, st["kc"], st["e"], st["mask"])
+                    acc += np.asarray(jax.nn.log_softmax(
+                        lg.astype(jnp.float32), -1))
+                logp_eff = acc / (1 + len(ens_state))
+            else:
+                logp_eff = logp
+            if use_ilm:
+                ilm_carry, ilm_logits, _ = self._step(
+                    ilm_carry, y, kc_zero, e_zero, mask)
+                ilm_logp = np.asarray(jax.nn.log_softmax(
+                    ilm_logits.astype(jnp.float32), -1))
+                logp_eff = logp_eff - conf.ilm_weight * ilm_logp
+
             lm_logp = np.zeros_like(logp)
             if self.lm is not None and conf.lm_weight > 0:
                 lps, new_states = [], []
@@ -209,7 +301,7 @@ class Speech2TextSession:
                 lm_logp = np.stack(lps)
                 lm_states = new_states
 
-            total = scores[:, None] + logp + conf.lm_weight * lm_logp
+            total = scores[:, None] + logp_eff + conf.lm_weight * lm_logp
             # eos handling: eos allowed only if logp(eos) good enough
             # (eos_threshold, reference las.py:1306) and length >= min_len
             if step_i < min_len:
@@ -235,7 +327,7 @@ class Speech2TextSession:
                     # carried score + (1-w)*att + w*(psi - prev ctc score) + lm
                     total_ctc[k, cands] = (
                         scores[k]
-                        + (1 - conf.ctc_weight) * logp[k, cands]
+                        + (1 - conf.ctc_weight) * logp_eff[k, cands]
                         + conf.ctc_weight * psi
                         - (conf.ctc_weight * scores_ctc[k])
                         + conf.lm_weight * lm_logp[k, cands])
@@ -294,6 +386,10 @@ class Speech2TextSession:
 
             par = jnp.asarray(parents, jnp.int32)
             carry = jax.tree.map(lambda x: x[par], carry)
+            if use_ilm:
+                ilm_carry = jax.tree.map(lambda x: x[par], ilm_carry)
+            for st in ens_state:
+                st["carry"] = jax.tree.map(lambda x: x[par], st["carry"])
             aw_np = np.asarray(aw)
             if aw_np.ndim == 3:   # MoChA/MMA: [beam, H, T] -> head mean
                 aw_np = aw_np.mean(1)
@@ -486,10 +582,17 @@ class Speech2TextSession:
                     {"params": self.params}, xb, cache,
                     method=lambda m, xb, c: m.encoder.streaming_step(xb, c)))
         cache = enc.init_stream_cache(1)
-        lm_fn = self._make_ctc_lm_fn() if (
-            self.lm is not None and self.conf.lm_weight > 0) else None
-        beam = CTCBlockSyncBeam(self.conf.beam_width,
-                                lm_fn=lm_fn, lm_weight=self.conf.lm_weight)
+        use_rnnt = isinstance(self.dec, RNNTransducer)
+        if use_rnnt:
+            rnnt_beam = {(): 0.0}
+            rnnt_cache: dict = {}
+            committed: list[int] = []
+        else:
+            lm_fn = self._make_ctc_lm_fn() if (
+                self.lm is not None and self.conf.lm_weight > 0) else None
+            beam = CTCBlockSyncBeam(self.conf.beam_width,
+                                    lm_fn=lm_fn,
+                                    lm_weight=self.conf.lm_weight)
         driver = StreamingDriver(x_whole, total_in, hop_in, cnn_ctx_in)
 
         t0 = time.time()
@@ -500,6 +603,14 @@ class Speech2TextSession:
             eouts_blk, cache = self._stream_step(
                 jnp.asarray(block)[None], cache)
             n_out = -(-n_new // factor)
+            if use_rnnt:
+                # block-synchronous transducer beam
+                # (reference rnn_transducer.py:767-819)
+                rnnt_beam = self.transducer_beam_frames(
+                    np.asarray(eouts_blk)[0][:n_out], rnnt_beam, rnnt_cache,
+                    version="mono")
+                n_frames += n_new
+                continue
             lp = np.asarray(self._ctc_logp(eouts_blk))[0][:n_out]
             beam.step(lp)
             n_frames += n_new
@@ -511,13 +622,109 @@ class Speech2TextSession:
                 beam.commit_and_reset()
                 cache = enc.init_stream_cache(1)
                 n_resets += 1
-        hyp = beam.hypotheses()[0]["hyp"]
+        if use_rnnt:
+            hyp = committed + list(
+                max(rnnt_beam.items(), key=lambda kv: kv[1])[0])
+        else:
+            hyp = beam.hypotheses()[0]["hyp"]
         elapsed = time.time() - t0
         stats = {"rtf": elapsed / max(n_frames * 0.01, 1e-6),
                  "n_resets": n_resets, "n_frames": n_frames}
         return hyp, stats
 
     # ------------------------------------------------------------------ #
+    def _rnnt_fns(self):
+        if not hasattr(self, "_rnnt_pred"):
+            self._rnnt_pred = jax.jit(lambda y, c: self.model.apply(
+                {"params": self.params}, y, c,
+                method=lambda m, y, c: m.dec_fwd.pred_net(y, c)))
+            self._rnnt_joint = jax.jit(lambda et, pt: self.model.apply(
+                {"params": self.params}, et, pt,
+                method=lambda m, et, pt: m.dec_fwd.joint_step(et, pt)))
+        return self._rnnt_pred, self._rnnt_joint
+
+    def _pred_state(self, prefix: tuple, cache: dict):
+        """Prediction-net state for a hyp prefix, cached by prefix
+        (reference batchfy_pred_net rnn_transducer.py:549-590)."""
+        if prefix in cache:
+            return cache[prefix]
+        pred, _ = self._rnnt_fns()
+        if not prefix:
+            po, carry = pred(jnp.asarray([[EOS]], jnp.int32), None)
+        else:
+            _, carry_prev = self._pred_state(prefix[:-1], cache)
+            po, carry = pred(jnp.asarray([[prefix[-1]]], jnp.int32),
+                             carry_prev)
+        cache[prefix] = (po[:, 0], carry)
+        return cache[prefix]
+
+    def transducer_beam_frames(self, e_frames, beam, pred_cache,
+                               version: str = "tsd", max_exp: int = 3):
+        """Advance a transducer beam over frames (time-synchronous search,
+        reference _time_sync/_time_sync_mono rnn_transducer.py:592-765).
+
+        beam: dict prefix-tuple -> log score (merged in log space).
+        Returns the updated beam.
+        """
+        conf = self.conf
+        _, joint = self._rnnt_fns()
+        n_exp = 1 if version == "mono" else max_exp
+        for t in range(e_frames.shape[0]):
+            et = jnp.asarray(e_frames[t:t + 1])
+            next_beam: dict = {}
+            cur = dict(beam)
+            for _ in range(n_exp):
+                expansions: dict = {}
+                for prefix, sc in cur.items():
+                    pt, _ = self._pred_state(prefix, pred_cache)
+                    logits = joint(et, pt)
+                    lp = np.asarray(jax.nn.log_softmax(
+                        logits.astype(jnp.float32), -1))[0]
+                    # blank: hyp survives to the next frame
+                    b_sc = sc + float(lp[BLANK])
+                    next_beam[prefix] = np.logaddexp(
+                        next_beam.get(prefix, -np.inf), b_sc)
+                    top = np.argsort(lp)[::-1][: conf.beam_width + 1]
+                    for k in top:
+                        k = int(k)
+                        if k == BLANK:
+                            continue
+                        new = prefix + (k,)
+                        expansions[new] = np.logaddexp(
+                            expansions.get(new, -np.inf), sc + float(lp[k]))
+                if not expansions:
+                    break
+                cur = dict(sorted(expansions.items(),
+                                  key=lambda kv: -kv[1])[: conf.beam_width])
+                # expanded hyps also wait for the next frame (merged in log
+                # space — reference merge semantics beam_search.py:151-207)
+                for p, sc in cur.items():
+                    next_beam[p] = np.logaddexp(
+                        next_beam.get(p, -np.inf), sc)
+            beam = dict(sorted(next_beam.items(),
+                               key=lambda kv: -kv[1])[: conf.beam_width])
+        return beam
+
+    def decode_transducer_beam(self, xs, xlens, version: str = "tsd",
+                               max_exp: int = 3):
+        """Offline time-synchronous transducer beam search."""
+        eouts = self.encode(xs, xlens)
+        e = np.asarray(eouts["ys"]["xs"])
+        el = np.asarray(eouts["ys"]["xlens"])
+        out = []
+        for b in range(e.shape[0]):
+            pred_cache: dict = {}
+            beam = {(): 0.0}
+            beam = self.transducer_beam_frames(
+                e[b, : int(el[b])], beam, pred_cache, version, max_exp)
+            if self.conf.length_norm:
+                best = max(beam.items(),
+                           key=lambda kv: kv[1] / max(len(kv[0]), 1))[0]
+            else:
+                best = max(beam.items(), key=lambda kv: kv[1])[0]
+            out.append(list(best))
+        return out
+
     def decode_transducer_greedy(self, xs, xlens, max_symbols: int = 3):
         """Frame-synchronous greedy RNN-T decoding (reference :330-382)."""
         dec: RNNTransducer = self.dec

@@ -258,8 +258,11 @@ class RNNDecoder(nn.Module):
         return (states, aw0, ctx0, logits0)
 
     def __call__(self, eouts, elens, ys, ylens, deterministic: bool = True,
-                 trigger_points=None, return_logits: bool = False):
-        """Teacher-forced XE loss (+ accuracy); ys: [B, U] PAD-padded."""
+                 trigger_points=None, return_logits: bool = False,
+                 teacher_probs=None, distillation_weight: float = 0.0):
+        """Teacher-forced XE loss (+ accuracy); ys: [B, U] PAD-padded.
+        teacher_probs: [B, U+1, V] soft targets for distillation
+        (reference las.py:771-774, criterion distillation)."""
         bs, tmax, _ = eouts.shape
         ys_in, ys_out, _ = append_sos_eos(ys, ylens, bwd=self.backward)
         mask = make_pad_mask(elens, tmax)
@@ -269,6 +272,12 @@ class RNNDecoder(nn.Module):
             carry, ys_in, key_cache, eouts, mask, deterministic)
         loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
                                       ignore_index=PAD)
+        if teacher_probs is not None and distillation_weight > 0:
+            from ...ops.criterion import distillation
+            loss_kd = distillation(logits, teacher_probs, ys_out,
+                                   ignore_index=PAD)
+            loss = (1.0 - distillation_weight) * loss + \
+                distillation_weight * loss_kd
         acc = compute_accuracy(logits, ys_out, ignore_index=PAD)
         obs = {"loss_att": loss, "acc_att": acc, "ppl_att": jnp.exp(nll)}
 
@@ -304,6 +313,41 @@ class RNNDecoder(nn.Module):
             obs["logits"] = logits
             obs["aws"] = aws
         return loss, obs
+
+    def forward_mbr(self, eouts, elens, nbest_ys, nbest_ylens, risks,
+                    scale: float = 1.0):
+        """Minimum-Bayes-risk loss over an n-best list (reference
+        ``forward_mbr`` las.py:507-616 + the MBR autograd Function
+        criterion.py:15-42 — here the expected risk is directly
+        differentiable through softmax-normalised sequence scores).
+
+        nbest_ys: [B, N, U]; nbest_ylens: [B, N]; risks: [B, N] (e.g. WER).
+        """
+        bs, n, u = nbest_ys.shape
+        e_flat = jnp.repeat(eouts, n, axis=0)
+        el_flat = jnp.repeat(elens, n, axis=0)
+        lp = self.sequence_log_prob(
+            e_flat, el_flat, nbest_ys.reshape(bs * n, u),
+            nbest_ylens.reshape(bs * n)).reshape(bs, n)
+        p_hat = jax.nn.softmax(scale * lp, axis=1)
+        loss = jnp.mean(jnp.sum(p_hat * risks, axis=1))
+        return loss
+
+    def sequence_log_prob(self, eouts, elens, ys, ylens):
+        """Teacher-forced sum log-prob per utterance [B] (fwd-bwd merging /
+        MBR / rescoring; reference fwd_bwd_attention.py:12-108)."""
+        bs, tmax, _ = eouts.shape
+        ys_in, ys_out, _ = append_sos_eos(ys, ylens, bwd=self.backward)
+        mask = make_pad_mask(elens, tmax)
+        key_cache = self._key_cache(eouts)
+        carry = self.init_carry(bs, tmax, eouts.dtype)
+        _, (logits, _) = self.step_scan(
+            carry, ys_in, key_cache, eouts, mask, True)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        tok_lp = jnp.take_along_axis(
+            lp, jnp.maximum(ys_out, 0)[..., None], axis=-1)[..., 0]
+        valid = (ys_out != PAD)
+        return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1)
 
     def decode_step(self, carry, y_t, key_cache, eouts, mask):
         """Single decode step (beam search / streaming); same params as the

@@ -130,6 +130,24 @@ class TransformerDecoder(nn.Module):
             obs["aws"] = aws
         return loss, obs
 
+    def sequence_log_prob(self, eouts, elens, ys, ylens):
+        """Teacher-forced sum log-prob per utterance [B]."""
+        bs, tmax, _ = eouts.shape
+        ys_in, ys_out, _ = append_sos_eos(ys, ylens, bwd=self.backward)
+        u1 = ys_in.shape[1]
+        eouts = self._bridge(eouts)
+        src_mask = make_pad_mask(elens, tmax)[:, None, :]
+        tgt_mask = causal_mask(u1, u1)[None]
+        h = self.pos_enc(self.embed(ys_in), 0, True)
+        for blk in self.blocks:
+            h, _, _ = blk(h, tgt_mask, eouts, src_mask)
+        lp = jax.nn.log_softmax(
+            self.output(self.norm_out(h)).astype(jnp.float32), -1)
+        tok_lp = jnp.take_along_axis(
+            lp, jnp.maximum(ys_out, 0)[..., None], axis=-1)[..., 0]
+        valid = (ys_out != PAD)
+        return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1)
+
     # ---- incremental decoding ----
     def init_cache(self, bs: int, dtype=jnp.float32):
         dk = self.d_model // self.n_heads

@@ -50,18 +50,28 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def make_train_step(model, tx, mesh: Mesh | None = None,
-                    donate: bool = True):
+                    donate: bool = True, weight_noise_std: float = 0.0):
     """Build the jitted (sharded) training step.
 
     step(params, opt_state, rng, xs, xlens, ys, ylens)
       -> (params, opt_state, metrics dict)
     With a mesh: data-sharded inputs, replicated params; XLA inserts the
     gradient all-reduce. Without: plain single-device jit.
+    ``weight_noise_std``: Gaussian weight noise on params in the loss only
+    (reference add_weight_noise, models/base.py:77-91).
     """
     import optax
 
     def step(params, opt_state, rng, xs, xlens, ys, ylens):
         def loss_fn(p):
+            if weight_noise_std > 0:
+                nkey = jax.random.fold_in(rng, 2)
+                leaves, treedef = jax.tree.flatten(p)
+                keys = jax.random.split(nkey, len(leaves))
+                p = jax.tree.unflatten(treedef, [
+                    x + weight_noise_std * jax.random.normal(
+                        k, x.shape, x.dtype)
+                    for x, k in zip(leaves, keys)])
             loss, obs = model.apply(
                 {"params": p}, xs, xlens, ys, ylens, deterministic=False,
                 rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)})

@@ -1,0 +1,151 @@
+"""Transducer beam search, CIF, ILM subtraction, ensemble, fwd-bwd merge,
+second-pass rescoring."""
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from neural_sp_tpu.models.speech2text import build_speech2text
+from neural_sp_tpu.models.decoders.decoding import (
+    Speech2TextSession, DecodeConfig)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _model(**kw):
+    base = dict(enc_type="blstm", input_dim=20, enc_n_units=16,
+                enc_n_layers=1, dec_type="lstm", dec_n_units=16,
+                dec_n_layers=1, emb_dim=8, dec_bottleneck_dim=16,
+                attn_dim=16, attn_conv_width=9, vocab=13, ctc_weight=0.3)
+    base.update(kw)
+    args = SimpleNamespace(**base)
+    model = build_speech2text(args)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((1, 24, 20)), jnp.float32)
+    xlens = jnp.asarray([24])
+    ys = jnp.asarray([[4, 5, 6]], jnp.int32)
+    ylens = jnp.asarray([3])
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    return model, v["params"], xs, xlens
+
+
+def test_transducer_tsd_and_mono_beam():
+    model, params, xs, xlens = _model(dec_type="lstm_transducer",
+                                      ctc_weight=0.0,
+                                      transducer_joint_dim=16)
+    sess = Speech2TextSession(model, params, DecodeConfig(beam_width=3))
+    tsd = sess.decode_transducer_beam(xs, xlens, version="tsd", max_exp=2)
+    mono = sess.decode_transducer_beam(xs, xlens, version="mono")
+    g = sess.decode_transducer_greedy(xs, xlens)
+    assert len(tsd) == len(mono) == len(g) == 1
+    for h in (tsd[0], mono[0], g[0]):
+        assert all(t != 0 for t in h)  # no blanks in output
+
+
+def test_ilm_subtraction_changes_scores():
+    model, params, xs, xlens = _model()
+    h0 = Speech2TextSession(
+        model, params, DecodeConfig(beam_width=3)).decode_attention_beam(
+        xs, xlens)
+    h1 = Speech2TextSession(
+        model, params,
+        DecodeConfig(beam_width=3, ilm_weight=0.4)).decode_attention_beam(
+        xs, xlens)
+    assert len(h0) == len(h1) == 1  # runs; hyps may or may not differ
+
+
+def test_ensemble_decoding():
+    model, params, xs, xlens = _model()
+    model2, params2, _, _ = _model()
+    s2 = Speech2TextSession(model2, params2, DecodeConfig(beam_width=3))
+    sess = Speech2TextSession(model, params, DecodeConfig(beam_width=3),
+                              ensemble=[s2])
+    hyps = sess.decode_attention_beam(xs, xlens)
+    assert len(hyps) == 1
+
+
+def test_fwd_bwd_merge_and_second_pass():
+    model, params, xs, xlens = _model(bwd_weight=0.3)
+    sess = Speech2TextSession(
+        model, params,
+        DecodeConfig(beam_width=3, n_best=3, fwd_bwd_attention=True,
+                     lm_second_weight=0.3))
+    from neural_sp_tpu.models.lm.rnnlm import RNNLM
+    from neural_sp_tpu.models.lm.session import LMSession
+    lm = RNNLM(vocab=13, n_units=16, n_layers=1, emb_dim=8)
+    vlm = lm.init(RNG, jnp.ones((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32))
+    sess.attach_second_pass_lms(lm_second=LMSession(lm, vlm["params"]))
+    hyps = sess.decode_attention_beam(xs, xlens)
+    assert len(hyps) == 1 and isinstance(hyps[0], list)
+
+
+def test_cif_module():
+    from neural_sp_tpu.models.modules.cif import CIF
+    rng = np.random.default_rng(0)
+    eouts = jnp.asarray(rng.standard_normal((2, 20, 8)), jnp.float32)
+    elens = jnp.asarray([20, 15])
+    cif = CIF(enc_dim=8)
+    ylens = jnp.asarray([4, 3])
+    v = cif.init(RNG, eouts, elens, ylens)
+    cv, alpha, token_ids, n_tokens = cif.apply(v, eouts, elens, ylens)
+    assert cv.shape == (2, 20, 8)
+    a = np.asarray(alpha)
+    np.testing.assert_allclose(a.sum(-1), [4.0, 3.0], rtol=1e-4)
+    assert (np.asarray(token_ids) >= 0).all()
+    # valid region only
+    assert np.abs(a[1, 15:]).sum() < 1e-6
+
+
+def test_mbr_loss_prefers_low_risk():
+    """MBR gradient must push probability toward the low-risk hypothesis."""
+    import optax
+    model, params, xs, xlens = _model(ctc_weight=0.0)
+    eouts_fn = jax.jit(lambda p: model.apply(
+        {"params": p}, xs, xlens, method=model.encode)[0]["ys"])
+    nbest_ys = jnp.asarray([[[4, 5, 6, 3], [7, 8, 9, 3]]], jnp.int32)
+    nbest_ylens = jnp.asarray([[3, 3]], jnp.int32)
+    risks = jnp.asarray([[0.0, 1.0]], jnp.float32)  # hyp0 is correct
+
+    def loss_fn(p):
+        e = model.apply({"params": p}, xs, xlens, method=model.encode)[0]["ys"]
+        return model.apply(
+            {"params": p}, e["xs"], e["xlens"], nbest_ys, nbest_ylens, risks,
+            method=lambda m, *a: m.dec_fwd.forward_mbr(*a))
+
+    l0 = float(loss_fn(params))
+    g = jax.grad(loss_fn)(params)
+    tx = optax.sgd(0.5)
+    up, _ = tx.update(g, tx.init(params), params)
+    p2 = optax.apply_updates(params, up)
+    l1 = float(loss_fn(p2))
+    assert l1 < l0, (l0, l1)   # expected risk decreases
+
+
+def test_distillation_path():
+    model, params, xs, xlens = _model(ctc_weight=0.0)
+    e = model.apply({"params": params}, xs, xlens, method=model.encode)[0]["ys"]
+    ys = jnp.asarray([[4, 5, 6]], jnp.int32); ylens = jnp.asarray([3])
+    teacher = jax.nn.softmax(
+        jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 13)),
+                    jnp.float32), -1)
+    loss, obs = model.apply(
+        {"params": params}, e["xs"], e["xlens"], ys, ylens, True, None, False,
+        teacher, 0.5,
+        method=lambda m, *a: m.dec_fwd(*a))
+    assert np.isfinite(float(loss))
+
+
+def test_weight_noise_step():
+    import optax
+    from neural_sp_tpu.parallel.mesh import make_train_step
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+    model, params, xs, xlens = _model()
+    tx = build_optimizer("adam", lr=1e-3)
+    step = make_train_step(model, tx, None, donate=False,
+                           weight_noise_std=0.01)
+    ys = jnp.asarray([[4, 5, 6]], jnp.int32); ylens = jnp.asarray([3])
+    p2, o2, m = step(params, tx.init(params), jax.random.PRNGKey(0),
+                     xs, xlens, ys, ylens)
+    assert np.isfinite(float(m["loss"]))
