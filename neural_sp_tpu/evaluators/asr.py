@@ -80,6 +80,76 @@ def eval_unit(
     }
 
 
+def eval_oracle_wer(session, loader) -> dict:
+    """Oracle WER over the n-best (reference wordpiece.py:127-134)."""
+    idx2token = loader.idx2token
+    n_err = n_tok = 0
+    n_utts = 0
+    for batch in loader:
+        eouts_all = session.encode(batch["xs"], batch["xlens"])
+        session._ens_eouts = []
+        for b in range(len(batch["utt_ids"])):
+            session._b_idx = b
+            e = eouts_all["ys"]["xs"][b:b + 1]
+            el = eouts_all["ys"]["xlens"][b:b + 1]
+            from .edit_distance import compute_wer as _wer
+            from ..models.decoders.transformer import TransformerDecoder
+            if isinstance(session.dec, TransformerDecoder):
+                _, nbest = session._beam_one_transformer(e, el)
+            else:
+                _, nbest = session._beam_one_las(e, el)
+            ref = batch["text"][b].split()
+            best = min(
+                (_wer(ref, idx2token(h).split()) for h in nbest),
+                key=lambda t: t[0])
+            n_err += best[1] + best[2] + best[3]
+            n_tok += len(ref)
+            n_utts += 1
+    return {"oracle_wer": 100.0 * n_err / max(n_tok, 1), "n_utts": n_utts}
+
+
+def eval_wer_by_length(session, loader, bins=(0, 10, 20, 40, 10**9)) -> dict:
+    """Fine-grained WER by reference-length bins (reference wordpiece.py)."""
+    stats = {i: [0, 0] for i in range(len(bins) - 1)}
+    for utt_id, spk, ref_text, hyp_ids in _decode_batches(session, loader):
+        ref = ref_text.split()
+        hyp = loader.idx2token(hyp_ids).split()
+        _, s, i, d = compute_wer(ref, hyp)
+        for k in range(len(bins) - 1):
+            if bins[k] <= len(ref) < bins[k + 1]:
+                stats[k][0] += s + i + d
+                stats[k][1] += len(ref)
+    return {f"wer_len_{bins[k]}_{bins[k+1]}":
+            100.0 * e / max(t, 1) for k, (e, t) in stats.items()}
+
+
+def eval_streaming(session, loader, save_dir=None) -> dict:
+    """Streaming decode evaluation: WER + RTF + quantity rate +
+    streamability diagnostics (reference wordpiece.py:155-208)."""
+    idx2token = loader.idx2token
+    n_err = n_tok = n_hyp_tok = 0
+    rtfs = []
+    n_resets_total = 0
+    n_utts = 0
+    for batch in loader:
+        for b in range(len(batch["utt_ids"])):
+            feats = batch["xs"][b][: batch["xlens"][b]]
+            hyp_ids, stats = session.decode_streaming(feats)
+            ref = batch["text"][b].split()
+            hyp = idx2token(hyp_ids).split()
+            _, s, i, d = compute_wer(ref, hyp)
+            n_err += s + i + d
+            n_tok += len(ref)
+            n_hyp_tok += len(hyp_ids)
+            rtfs.append(stats["rtf"])
+            n_resets_total += stats["n_resets"]
+            n_utts += 1
+    return {"wer": 100.0 * n_err / max(n_tok, 1),
+            "rtf": float(sum(rtfs) / max(len(rtfs), 1)),
+            "quantity_rate": n_hyp_tok / max(n_tok, 1),
+            "n_resets": n_resets_total, "n_utts": n_utts}
+
+
 def eval_wordpiece(session, loader, save_dir=None, progress=False):
     return eval_unit(session, loader, "wp", save_dir, progress)
 

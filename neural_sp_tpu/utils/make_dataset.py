@@ -1,0 +1,112 @@
+"""Corpus preparation utilities (reference ``utils/make_tsv.py``,
+``make_vocab.sh``, ``compute_oov_rate.py``): wav+transcript -> features,
+CMVN, vocab (char/word/BPE), TSV — the pure-Python/TPU analog of the Kaldi
+stage-1/2 recipe pipeline."""
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from .io import read_wav, logmel_fbank_np
+from ..ops.audio import compute_cmvn_stats
+from ..datasets.token_converter.wordpiece import train_bpe
+from ..datasets.asr.dataset import build_converters
+
+TSV_COLUMNS = ["utt_id", "speaker", "feat_path", "xlen", "xdim", "text",
+               "token_id", "ylen", "ydim"]
+
+
+def extract_features(
+    wav_scp: dict[str, str],
+    feat_dir: str,
+    n_mels: int = 80,
+    cmvn: tuple | None = None,
+) -> tuple[dict[str, str], dict[str, int], tuple]:
+    """wav_scp: utt_id -> wav path. Returns (feat paths, lens, cmvn)."""
+    os.makedirs(feat_dir, exist_ok=True)
+    raw = {}
+    for utt, path in wav_scp.items():
+        x, sr = read_wav(path)
+        raw[utt] = logmel_fbank_np(x, sample_rate=sr, n_mels=n_mels)
+    if cmvn is None:
+        cmvn = compute_cmvn_stats(list(raw.values()))
+    mean, std = cmvn
+    paths, lens = {}, {}
+    for utt, feat in raw.items():
+        feat = ((feat - mean) / std).astype(np.float32)
+        p = os.path.join(feat_dir, utt + ".npy")
+        np.save(p, feat)
+        paths[utt] = p
+        lens[utt] = feat.shape[0]
+    return paths, lens, cmvn
+
+
+def make_vocab(texts, unit: str, out_path: str, vocab_size: int = 0,
+               wp_model_path: str | None = None) -> str:
+    """Build a dict file (and BPE model for unit='wp'); ids start at 4."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    if unit == "wp":
+        assert wp_model_path and vocab_size > 0
+        model = train_bpe(texts, vocab_size, wp_model_path)
+        with open(out_path, "w") as f:
+            for i, p in enumerate(model["vocab"]):
+                if i >= 4:
+                    f.write(f"{p} {i}\n")
+        return out_path
+    counter: Counter = Counter()
+    for t in texts:
+        if unit == "char":
+            counter.update(c for c in t if c != " ")
+        else:
+            counter.update(t.split())
+    items = [w for w, _ in counter.most_common(vocab_size or None)]
+    with open(out_path, "w") as f:
+        idx = 4
+        for w in items:
+            f.write(f"{w} {idx}\n")
+            idx += 1
+        if unit == "char":
+            f.write(f"<space> {idx}\n")
+    return out_path
+
+
+def make_tsv(
+    utts: list[dict],
+    feat_paths: dict[str, str],
+    feat_lens: dict[str, int],
+    dict_path: str,
+    unit: str,
+    out_tsv: str,
+    wp_model: str | None = None,
+    xdim: int = 80,
+) -> str:
+    """utts: [{utt_id, speaker, text}] -> reference-schema TSV
+    (utils/make_tsv.py:91)."""
+    tok, _ = build_converters(unit, dict_path, wp_model)
+    vocab = len(open(dict_path).readlines()) + 4
+    recs = []
+    for u in utts:
+        ids = tok(u["text"])
+        recs.append({
+            "utt_id": u["utt_id"], "speaker": u.get("speaker", "spk"),
+            "feat_path": feat_paths[u["utt_id"]],
+            "xlen": feat_lens[u["utt_id"]], "xdim": xdim,
+            "text": u["text"], "token_id": " ".join(map(str, ids)),
+            "ylen": len(ids), "ydim": vocab})
+    pd.DataFrame(recs, columns=TSV_COLUMNS).to_csv(out_tsv, sep="\t",
+                                                   index=False)
+    return out_tsv
+
+
+def compute_oov_rate(texts, dict_path: str) -> float:
+    """% of word tokens not in the dict (reference compute_oov_rate.py)."""
+    vocab = {line.split()[0] for line in open(dict_path)}
+    n_oov = n_tok = 0
+    for t in texts:
+        for w in t.split():
+            n_tok += 1
+            n_oov += w not in vocab
+    return 100.0 * n_oov / max(n_tok, 1)
