@@ -115,9 +115,50 @@ class ASRDataLoader:
         self._batches = self._make_batches()
 
     def _load(self, batch):
+        fast = self._load_native(batch)
+        if fast is not None:
+            return fast
         items = [self.dataset[i] for i in batch]
         return collate(items, self.pad_xlen_multiple, self.pad_ylen_multiple,
                        self.pad_batch_multiple)
+
+    def _load_native(self, batch):
+        """Fused C++ read+pad when all features are .npy files
+        (native/nsp_native.cc nsp_collate_batch)."""
+        from ...utils.native import collate_batch as native_collate
+        from ... import PAD
+        df = self.dataset.df
+        rows = df.iloc[batch]
+        paths = list(rows["feat_path"])
+        if not all(isinstance(p, str) and p.endswith(".npy") for p in paths):
+            return None
+        xmax = int(rows["xlen"].max())
+        xmax = -(-xmax // self.pad_xlen_multiple) * self.pad_xlen_multiple
+        dim = int(rows["xdim"].iloc[0])
+        bs_pad = -(-len(batch) // self.pad_batch_multiple) * \
+            self.pad_batch_multiple
+        out = native_collate(paths, [-1] * len(paths), xmax, dim)
+        if out is None:
+            return None
+        xs_n, lens = out
+        xs = np.zeros((bs_pad, xmax, dim), np.float32)
+        xs[: len(batch)] = xs_n
+        xlens = np.zeros(bs_pad, np.int32)
+        xlens[: len(batch)] = lens
+        ys_list = [self.dataset.token_ids(i) for i in batch]
+        ymax = -(-max(max(len(y), 1) for y in ys_list)
+                 // self.pad_ylen_multiple) * self.pad_ylen_multiple
+        ys = np.full((bs_pad, ymax), PAD, np.int32)
+        ylens = np.zeros(bs_pad, np.int32)
+        for i, y in enumerate(ys_list):
+            ys[i, : len(y)] = y
+            ylens[i] = len(y)
+        return {
+            "xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens,
+            "utt_ids": list(rows["utt_id"]),
+            "speakers": list(rows["speaker"]),
+            "text": list(rows["text"]),
+        }
 
     def __iter__(self):
         if self.prefetch <= 0:

@@ -12,6 +12,15 @@ import numpy as np
 def compute_wer(ref: list, hyp: list) -> tuple[float, int, int, int]:
     """Returns (wer%, n_sub, n_ins, n_del) on token lists."""
     nr, nh = len(ref), len(hyp)
+    if nr + nh > 64:  # native C++ path pays off past trivial sizes
+        from ..utils.native import edit_distance as _native_ed
+        interned: dict = {}
+        ids = lambda toks: [interned.setdefault(t, len(interned))
+                            for t in toks]
+        out = _native_ed(ids(ref), ids(hyp))
+        if out is not None:
+            tot, s, i, d = out
+            return 100.0 * tot / max(nr, 1), s, i, d
     d = np.zeros((nr + 1, nh + 1), np.int32)
     d[:, 0] = np.arange(nr + 1)
     d[0, :] = np.arange(nh + 1)

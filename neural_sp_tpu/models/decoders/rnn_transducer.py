@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ... import BLANK, EOS, PAD
-from ...ops.rnnt import rnnt_loss
+from ...ops.rnnt import rnnt_loss_from_logits
 from ..modules.recurrent import RNNLayer
 
 
@@ -78,8 +78,9 @@ class RNNTransducer(nn.Module):
              jnp.where(ys == PAD, 0, ys)], axis=1)  # [B, U+1]
         pred_out, _ = self.pred_net(ys_in, None, deterministic)
         logits = self.joint(eouts, pred_out)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        loss = rnnt_loss(log_probs, jnp.where(ys == PAD, 0, ys),
-                         elens, ylens, blank=BLANK)
+        # loss from raw logits: never materialises the [B,T,U+1,V]
+        # log-softmax in the forward (ops/rnnt.py)
+        loss = rnnt_loss_from_logits(logits, jnp.where(ys == PAD, 0, ys),
+                                     elens, ylens, blank=BLANK)
         obs = {"loss_transducer": loss}
         return loss, obs

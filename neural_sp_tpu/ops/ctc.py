@@ -101,6 +101,112 @@ def ctc_forward_alphas(log_probs, labels, logit_lengths, label_lengths, blank=0)
     return nll, alphas
 
 
+def _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
+                        label_lengths):
+    """Beta (backward) recurrence; mirrors the alpha scan reversed.
+
+    Returns betas [T, B, S]: beta[t, s] = log P(path completes from (t, s)).
+    """
+    bs, tmax, _ = log_probs.shape
+    s = z.shape[1]
+    # allow_skip for backward: from s we may jump to s+2 iff z[s+2] != blank
+    # and z[s+2] != z[s] — same mask as forward shifted by 2.
+    allow_skip_fwd = jnp.pad(allow_skip, ((0, 0), (0, 2)))[:, 2:]
+
+    end = 2 * label_lengths.astype(jnp.int32)
+    s_idx = jnp.arange(s)[None, :]
+
+    def init_beta(t_last):
+        # at each utterance's last frame: beta = emit at final two states
+        beta = jnp.full((bs, s), NEG_INF, jnp.float32)
+        ok = (s_idx == end[:, None]) | (s_idx == jnp.maximum(
+            end - 1, 0)[:, None])
+        return jnp.where(ok, 0.0, NEG_INF)
+
+    beta_T = init_beta(None)
+
+    def step(beta, xt):
+        t, logp_t = xt  # t runs tmax-1 .. 0; beta is for t+1
+        emit_next = jnp.take_along_axis(logp_t, z, axis=1)  # at frame t+1
+        b0 = beta + emit_next
+        b1 = jnp.pad(b0, ((0, 0), (0, 1)),
+                     constant_values=NEG_INF)[:, 1:]
+        contrib2 = jnp.pad(b0, ((0, 0), (0, 2)),
+                           constant_values=NEG_INF)[:, 2:]
+        b2 = jnp.where(allow_skip_fwd, contrib2, NEG_INF)
+        new = _logaddexp3(b0, b1, b2)
+        new = jnp.maximum(new, NEG_INF)
+        # the output frame is t: seed at each utterance's last frame
+        # (t == length-1), keep the carry frozen beyond it
+        at_last = (t == logit_lengths - 1)[:, None]
+        seeded = jnp.where(
+            (s_idx == end[:, None]) | (s_idx == jnp.maximum(
+                end - 1, 0)[:, None]), 0.0, NEG_INF)
+        new = jnp.where(at_last, seeded, new)
+        beyond = (t >= logit_lengths)[:, None]
+        new = jnp.where(beyond & ~at_last, beta, new)
+        return new, new
+
+    t_idx = jnp.arange(tmax - 2, -1, -1, dtype=jnp.int32)
+    _, betas_hist = lax.scan(
+        step, beta_T, (t_idx, jnp.swapaxes(log_probs[:, 1:], 0, 1)[::-1]))
+    betas = jnp.concatenate(
+        [betas_hist[::-1], beta_T[None]], axis=0)  # [T, B, S]
+    return betas
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_nll_fb(log_probs, labels, logit_lengths, label_lengths, blank):
+    nll, _ = ctc_forward_alphas(log_probs, labels, logit_lengths,
+                                label_lengths, blank=blank)
+    return nll
+
+
+def _ctc_nll_fwd(log_probs, labels, logit_lengths, label_lengths, blank):
+    nll, _ = ctc_forward_alphas(log_probs, labels, logit_lengths,
+                                label_lengths, blank=blank)
+    return nll, (log_probs, labels, logit_lengths, label_lengths, nll)
+
+
+def _ctc_nll_bwd(blank, res, g):
+    """Memory-efficient backward: recompute alpha+beta, form occupancies
+    (no per-step scan residuals saved by autodiff).
+
+    dL/dlogp[b,t,v] = -sum_{s: z[s]=v} exp(alpha[t,s]+beta[t,s]
+                                           - logp[t,z[s]] + nll)
+    """
+    log_probs, labels, logit_lengths, label_lengths, nll = res
+    bs, tmax, v = log_probs.shape
+    _, alphas = ctc_forward_alphas(log_probs, labels, logit_lengths,
+                                   label_lengths, blank=blank)
+    z = _extend_labels(labels.astype(jnp.int32), blank)
+    s = z.shape[1]
+    z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    allow_skip = (z != blank) & (z != z_m2)
+    betas = _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
+                                label_lengths)
+    # occupancy gamma[t, b, s]: alpha includes the emission at t, beta is
+    # the suffix AFTER t, so no emit renormalisation is needed;
+    # nll = -log Z.
+    log_gamma = alphas + betas + nll[None, :, None]
+    gamma = jnp.exp(jnp.minimum(log_gamma, 0.0))
+    # mask invalid (t >= len, s > 2*ylen)
+    t_ids = jnp.arange(tmax)[:, None, None]
+    s_ids = jnp.arange(s)[None, None, :]
+    valid = (t_ids < logit_lengths[None, :, None]) & \
+        (s_ids <= 2 * label_lengths[None, :, None])
+    gamma = jnp.where(valid, gamma, 0.0)
+    # scatter states to vocab
+    grad_lp = jax.vmap(
+        lambda gm, zz: jax.ops.segment_sum(gm.T, zz, num_segments=v).T,
+        in_axes=(1, 0), out_axes=0)(gamma, z)  # [B, T, V]
+    grad_lp = -grad_lp * g[:, None, None]
+    return (grad_lp, None, None, None)
+
+
+_ctc_nll_fb.defvjp(_ctc_nll_fwd, _ctc_nll_bwd)
+
+
 def ctc_loss(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
@@ -109,6 +215,7 @@ def ctc_loss(
     blank: int = 0,
     zero_infinity: bool = True,
     reduction: str = "sum_over_batch",
+    use_custom_vjp: bool = True,
 ) -> jnp.ndarray:
     """CTC negative log-likelihood.
 
@@ -117,8 +224,12 @@ def ctc_loss(
     caller-visible reduction. Infeasible alignments (2U+1 > T) yield 0 loss
     when ``zero_infinity``.
     """
-    nll, _ = ctc_forward_alphas(
-        log_probs, labels, logit_lengths, label_lengths, blank=blank)
+    if use_custom_vjp:
+        nll = _ctc_nll_fb(log_probs.astype(jnp.float32),
+                          labels, logit_lengths, label_lengths, blank)
+    else:
+        nll, _ = ctc_forward_alphas(
+            log_probs, labels, logit_lengths, label_lengths, blank=blank)
     if zero_infinity:
         feasible = (2 * label_lengths + 1 <= logit_lengths) & (label_lengths > 0)
         nll = jnp.where(feasible, nll, 0.0)

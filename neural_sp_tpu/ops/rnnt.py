@@ -113,3 +113,76 @@ def rnnt_loss(
     if reduction == "mean":
         return jnp.mean(nll)
     return jnp.sum(nll) / log_probs.shape[0]
+
+
+@jax.jit
+def rnnt_alphas_from_pair(blank_lp, emit_lp, logit_lengths, label_lengths):
+    """Alpha pass from pre-gathered (blank, emit) log-probs.
+
+    blank_lp: [B, T, U+1]; emit_lp: [B, T, U] (already -inf past ylen).
+    The full [B, T, U+1, V] log-softmax is never formed — the memory-heavy
+    part of warp_rnnt-style losses (SURVEY.md §2.11).
+    """
+    blank_lp = blank_lp.astype(jnp.float32)
+    emit_lp = emit_lp.astype(jnp.float32)
+    bs, tmax, u1 = blank_lp.shape
+
+    c0 = jnp.full((bs, u1), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+    g0 = jnp.concatenate(
+        [jnp.zeros((bs, 1), jnp.float32), emit_lp[:, 0, :]], axis=1)
+    alpha0 = _log_linear_scan(g0, c0)
+
+    def step(alpha_prev, xt):
+        t, blank_t_1, emit_t = xt
+        base = alpha_prev + blank_t_1
+        g = jnp.concatenate(
+            [jnp.zeros((bs, 1), jnp.float32), emit_t], axis=1)
+        alpha_t = jnp.maximum(_log_linear_scan(g, base), NEG_INF)
+        valid = (t < logit_lengths)[:, None]
+        return jnp.where(valid, alpha_t, alpha_prev), None
+
+    ts = jnp.arange(1, tmax, dtype=jnp.int32)
+    alpha_last, _ = lax.scan(
+        step, alpha0,
+        (ts, jnp.swapaxes(blank_lp[:, :-1], 0, 1),
+         jnp.swapaxes(emit_lp[:, 1:], 0, 1)))
+    final_blank = jnp.take_along_axis(
+        blank_lp[jnp.arange(bs), jnp.maximum(logit_lengths - 1, 0)],
+        label_lengths[:, None].astype(jnp.int32), axis=1)[:, 0]
+    a_final = jnp.take_along_axis(
+        alpha_last, label_lengths[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return -(a_final + final_blank)
+
+
+def rnnt_loss_from_logits(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+    reduction: str = "sum_over_batch",
+) -> jnp.ndarray:
+    """Transducer loss straight from joint-network logits [B, T, U+1, V].
+
+    Forward materialises only [B, T, U+1] tensors (logsumexp + two gathers)
+    instead of the [B, T, U+1, V] log-softmax; the [B,T,U+1,V]-sized
+    gradient is produced by autodiff in the backward only.
+    """
+    logits = logits.astype(jnp.float32)
+    u = labels.shape[1]
+    lse = jax.nn.logsumexp(logits, axis=-1)                 # [B, T, U+1]
+    blank_lp = logits[..., blank] - lse
+    emit_raw = jnp.take_along_axis(
+        logits[:, :, :u, :], labels[:, None, :, None].astype(jnp.int32),
+        axis=3)[..., 0]
+    emit_lp = emit_raw - lse[:, :, :u]
+    u_ids = jnp.arange(u, dtype=jnp.int32)[None, None, :]
+    emit_lp = jnp.where(u_ids < label_lengths[:, None, None], emit_lp,
+                        NEG_INF)
+    nll = rnnt_alphas_from_pair(blank_lp, emit_lp, logit_lengths,
+                                label_lengths)
+    if reduction == "none":
+        return nll
+    if reduction == "mean":
+        return jnp.mean(nll)
+    return jnp.sum(nll) / logits.shape[0]

@@ -104,3 +104,20 @@ def test_forced_align_monotone_and_valid():
                 collapsed.append(int(lab))
             prev = int(lab)
         assert collapsed == list(labels[b, :u])
+
+
+def test_ctc_pallas_kernel_interpret():
+    """Pallas TPU kernel == scan implementation (interpret mode on CPU)."""
+    from neural_sp_tpu.ops.ctc_pallas import ctc_loss_pallas
+    import jax
+    rng = np.random.default_rng(4)
+    bs, tmax, umax, vocab = 3, 24, 6, 9
+    logits, xlens, labels, ylens = _rand_case(rng, bs, tmax, umax, vocab)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    ref = ctc_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(xlens),
+                   jnp.asarray(ylens), reduction="none")
+    pal = ctc_loss_pallas(jnp.asarray(lp), jnp.asarray(labels),
+                          jnp.asarray(xlens), jnp.asarray(ylens),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-5,
+                               atol=1e-5)

@@ -117,3 +117,40 @@ def test_stripe_and_shuffle(corpus):
     batch = list(range(8))
     parts = [stripe_for_rank(batch, r, 4) for r in range(4)]
     assert sorted(sum(parts, [])) == batch
+
+
+def test_native_library_paths(corpus):
+    """C++ loader core: npy read, fused collate, edit distance — skipped if
+    the toolchain is unavailable."""
+    from neural_sp_tpu.utils.native import (
+        get_lib, read_npy_f32, collate_batch, edit_distance)
+    if get_lib() is None:
+        pytest.skip("native lib not built")
+    df = build_dataloader(corpus["train"], corpus["dict_char"],
+                          unit="char", batch_size=4).dataset.df
+    p = df["feat_path"].iloc[0]
+    native = read_npy_f32(p)
+    ref = np.load(p)
+    np.testing.assert_array_equal(native, ref)
+    batch, lens = collate_batch([p], [-1], ref.shape[0] + 16, ref.shape[1])
+    np.testing.assert_array_equal(batch[0, :len(ref)], ref)
+    assert lens[0] == ref.shape[0]
+    assert edit_distance([1, 2, 3], [1, 3]) == (1, 0, 0, 1)
+
+
+def test_native_loader_matches_python_loader(corpus):
+    from neural_sp_tpu.utils.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native lib not built")
+    l1 = build_dataloader(corpus["train"], corpus["dict_char"], unit="char",
+                          batch_size=8, bucketing="sort")
+    b_native = next(iter(l1))
+    # force the python path
+    l1.dataset.df = l1.dataset.df  # same data
+    items = [l1.dataset[i] for i in l1._batches[0]]
+    from neural_sp_tpu.datasets.asr.dataloader import collate
+    b_py = collate(items, l1.pad_xlen_multiple, l1.pad_ylen_multiple,
+                   l1.pad_batch_multiple)
+    np.testing.assert_array_equal(b_native["xs"], b_py["xs"])
+    np.testing.assert_array_equal(b_native["ys"], b_py["ys"])
+    np.testing.assert_array_equal(b_native["xlens"], b_py["xlens"])

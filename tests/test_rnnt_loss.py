@@ -86,3 +86,25 @@ def test_rnnt_grad_matches_finite_difference():
         fd = (float(f(jnp.asarray(lp, jnp.float32))) -
               float(f(jnp.asarray(lm, jnp.float32)))) / (2 * eps)
         np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=2e-3)
+
+
+def test_rnnt_from_logits_matches_log_probs_path():
+    rng = np.random.default_rng(3)
+    bs, tmax, umax, vocab = 2, 9, 4, 7
+    logits = jnp.asarray(rng.standard_normal(
+        (bs, tmax, umax + 1, vocab)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, vocab, (bs, umax)), jnp.int32)
+    xlens = jnp.asarray([9, 6], jnp.int32)
+    ylens = jnp.asarray([4, 2], jnp.int32)
+    from neural_sp_tpu.ops.rnnt import rnnt_loss_from_logits
+    a = rnnt_loss_from_logits(logits, labels, xlens, ylens, reduction="none")
+    b = rnnt_loss(jax.nn.log_softmax(logits, -1), labels, xlens, ylens,
+                  reduction="none")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+    # gradients agree too
+    ga = jax.grad(lambda l: rnnt_loss_from_logits(l, labels, xlens, ylens))(
+        logits)
+    gb = jax.grad(lambda l: rnnt_loss(jax.nn.log_softmax(l, -1), labels,
+                                      xlens, ylens))(logits)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-3,
+                               atol=1e-5)
