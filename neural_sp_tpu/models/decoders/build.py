@@ -43,6 +43,12 @@ def build_decoder(args, vocab: int, enc_n_units: int,
             dropout_emb=_get(args, "dropout_emb", 0.0),
             lsm_prob=_get(args, "lsm_prob", 0.0),
             ffn_activation=_get(args, "transformer_ffn_activation", "relu"),
+            mma_first_layer=_get(args, "mocha_first_layer", 0),
+            mocha_chunk_size=_get(args, "mocha_chunk_size", 1),
+            mocha_n_heads_mono=_get(args, "mocha_n_heads_mono", 1),
+            mocha_eps_wait=_get(args, "mocha_eps_wait", -1),
+            quantity_loss_weight=_get(args, "mocha_quantity_loss_weight",
+                                      0.0),
             backward=backward)
 
     # default: LAS RNN decoder (lstm | gru)

@@ -84,10 +84,10 @@ class Speech2TextSession:
                 {"params": params}, e,
                 method=lambda m, e: m.dec_fwd.precompute_src(e)))
             self._tstep = jax.jit(
-                lambda caches, src, y, mask, off: model.apply(
-                    {"params": params}, caches, src, y, mask, off,
-                    method=lambda mdl, c, s, y, m, o:
-                    mdl.dec_fwd.decode_step(c, s, y, m, o)),
+                lambda caches, src, y, mask, off, e: model.apply(
+                    {"params": params}, caches, src, y, mask, off, e,
+                    method=lambda mdl, c, s, y, m, o, e:
+                    mdl.dec_fwd.decode_step(c, s, y, m, o, e)),
                 static_argnums=(4,))
         if model.ctc is not None:
             self._ctc_logp = jax.jit(lambda e: model.apply(
@@ -424,7 +424,7 @@ class Speech2TextSession:
         e_t = jnp.repeat(e, beam, axis=0)
         src_mask = make_pad_mask(jnp.repeat(el, beam, 0), tmax)[:, None, :]
         src_caches = self._src(e_t)
-        caches = dec.init_cache(beam, e.dtype)
+        caches = dec.init_cache(beam, e.dtype, tmax)
         ctc_scorer = self._ctc_scorer(e, el)
         ctc_states = [ctc_scorer.initial_state() if ctc_scorer else None] * beam
 
@@ -439,7 +439,7 @@ class Speech2TextSession:
 
         for step_i in range(max_len):
             caches, logits = self._tstep(caches, src_caches, y, src_mask,
-                                         step_i)
+                                         step_i, e_t)
             logp = np.asarray(jax.nn.log_softmax(
                 conf.softmax_smoothing * logits.astype(jnp.float32), -1))
             V = logp.shape[-1]

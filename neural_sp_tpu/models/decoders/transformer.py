@@ -34,11 +34,18 @@ class TransformerDecoderBlock(nn.Module):
     dropout_att: float = 0.0
     dropout_layer: float = 0.0
     ffn_activation: str = "relu"
+    # MMA (monotonic multihead) source attention — reference
+    # transformer.py:164-179 (from mma_first_layer upward)
+    src_atype: str = "mha"            # mha | mocha
+    mocha_chunk_size: int = 1
+    mocha_n_heads_mono: int = 1
+    mocha_eps_wait: int = -1
 
     @nn.compact
     def __call__(self, ys, self_mask=None, eouts=None, src_mask=None,
                  self_cache=None, src_cache=None, deterministic: bool = True,
-                 return_weights: bool = False):
+                 return_weights: bool = False, alpha_prev=None):
+        from ..modules.mocha import MMAStep
         new_cache = {}
         h = nn.LayerNorm(name="norm_self")(ys)
         h, kv, _ = MultiheadAttention(
@@ -49,7 +56,39 @@ class TransformerDecoderBlock(nn.Module):
         ys = ys + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         aws = None
-        if eouts is not None:
+        if eouts is not None and self.src_atype == "mocha":
+            # monotonic multihead source attention: scan the per-position
+            # alpha recurrence over the output sequence
+            h = nn.LayerNorm(name="norm_src")(ys)
+            h_ma = self.mocha_n_heads_mono or self.n_heads
+            adim = self.d_model // h_ma
+            kc = {"mono": nn.Dense(adim * h_ma, use_bias=False,
+                                   name="mma_key_mono")(eouts),
+                  "value": nn.Dense(adim * h_ma, use_bias=False,
+                                    name="mma_key_value")(eouts)}
+            if self.mocha_chunk_size != 1:
+                kc["chunk"] = nn.Dense(adim * h_ma, use_bias=False,
+                                       name="mma_key_chunk")(eouts)
+            bs, tk = eouts.shape[:2]
+            if alpha_prev is None:
+                alpha_prev = jnp.zeros((bs, h_ma, tk),
+                                       eouts.dtype).at[:, :, 0].set(1.0)
+            scan_mma = nn.scan(
+                MMAStep, variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=(1, nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=1)(
+                kdim=self.d_model, qdim=self.d_model, adim=adim,
+                chunk_size=self.mocha_chunk_size, n_heads_mono=h_ma,
+                eps_wait=self.mocha_eps_wait, name="src_mma")
+            pad_1d = src_mask[:, 0, :] if src_mask is not None else None
+            alpha_new, (ctx, alphas) = scan_mma(
+                alpha_prev, h, kc, pad_1d, deterministic)
+            new_cache["alpha"] = alpha_new
+            aws = alphas  # [B, U, H, T]
+            ys = ys + nn.Dropout(self.dropout)(ctx,
+                                               deterministic=deterministic)
+        elif eouts is not None:
             h = nn.LayerNorm(name="norm_src")(ys)
             if src_cache is not None:
                 h, _, aws = MultiheadAttention(
@@ -89,6 +128,16 @@ class TransformerDecoder(nn.Module):
     lsm_prob: float = 0.0
     ffn_activation: str = "relu"
     backward: bool = False
+    # MMA: layers >= mma_first_layer use monotonic source attention
+    # (reference transformer.py mma_first_layer; 0 = disabled)
+    mma_first_layer: int = 0
+    mocha_chunk_size: int = 1
+    mocha_n_heads_mono: int = 1
+    mocha_eps_wait: int = -1
+    quantity_loss_weight: float = 0.0
+
+    def _is_mma(self, lth: int) -> bool:
+        return self.mma_first_layer > 0 and (lth + 1) >= self.mma_first_layer
 
     def setup(self):
         self.embed = nn.Embed(self.vocab, self.d_model)
@@ -97,8 +146,12 @@ class TransformerDecoder(nn.Module):
         self.blocks = [
             TransformerDecoderBlock(
                 self.d_model, self.d_ff, self.n_heads, self.dropout,
-                self.dropout_att, self.dropout_layer, self.ffn_activation)
-            for _ in range(self.n_layers)]
+                self.dropout_att, self.dropout_layer, self.ffn_activation,
+                src_atype="mocha" if self._is_mma(lth) else "mha",
+                mocha_chunk_size=self.mocha_chunk_size,
+                mocha_n_heads_mono=self.mocha_n_heads_mono,
+                mocha_eps_wait=self.mocha_eps_wait)
+            for lth in range(self.n_layers)]
         self.norm_out = nn.LayerNorm()
         self.bridge = nn.Dense(self.d_model) \
             if self.enc_n_units != self.d_model else None
@@ -116,15 +169,32 @@ class TransformerDecoder(nn.Module):
         src_mask = make_pad_mask(elens, tmax)[:, None, :]  # [B, 1, Tk]
         tgt_mask = causal_mask(u1, u1)[None]
         h = self.pos_enc(self.embed(ys_in), 0, deterministic)
-        for blk in self.blocks:
+        mma_alphas = []
+        for lth, blk in enumerate(self.blocks):
             h, _, aws = blk(h, tgt_mask, eouts, src_mask,
                             deterministic=deterministic,
                             return_weights=return_logits)
+            if self._is_mma(lth) and aws is not None:
+                mma_alphas.append(aws)  # [B, U, H, T]
         logits = self.output(self.norm_out(h))
         loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
                                       ignore_index=PAD)
         acc = compute_accuracy(logits, ys_out, ignore_index=PAD)
         obs = {"loss_att": loss, "acc_att": acc, "ppl_att": jnp.exp(nll)}
+        if mma_alphas and self.quantity_loss_weight > 0 and not deterministic:
+            # |sum alignment mass - #tokens| averaged over MMA layers/heads
+            # (reference transformer.py:444-453)
+            valid = (jnp.arange(u1)[None] < (ylens + 1)[:, None]
+                     ).astype(jnp.float32)
+            qty = jnp.zeros((bs,), jnp.float32)
+            for a in mma_alphas:
+                mass = jnp.sum(a.astype(jnp.float32), axis=(2, 3)) / a.shape[2]
+                qty += jnp.abs(jnp.sum(mass * valid, axis=1)
+                               - (ylens + 1).astype(jnp.float32))
+            loss_qty = jnp.mean(qty) / len(mma_alphas)
+            loss = loss + self.quantity_loss_weight * loss_qty
+            obs["loss_quantity"] = loss_qty
+            obs["loss_att"] = loss
         if return_logits:
             obs["logits"] = logits
             obs["aws"] = aws
@@ -149,17 +219,28 @@ class TransformerDecoder(nn.Module):
         return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1)
 
     # ---- incremental decoding ----
-    def init_cache(self, bs: int, dtype=jnp.float32):
+    def init_cache(self, bs: int, dtype=jnp.float32, tmax: int = 0):
         dk = self.d_model // self.n_heads
-        return [{"self": {"k": jnp.zeros((bs, 0, self.n_heads, dk), dtype),
+        caches = []
+        for lth in range(self.n_layers):
+            c = {"self": {"k": jnp.zeros((bs, 0, self.n_heads, dk), dtype),
                           "v": jnp.zeros((bs, 0, self.n_heads, dk), dtype)}}
-                for _ in range(self.n_layers)]
+            if self._is_mma(lth):
+                h_ma = self.mocha_n_heads_mono or self.n_heads
+                c["alpha"] = jnp.zeros((bs, h_ma, tmax),
+                                       dtype).at[:, :, 0].set(1.0)
+            caches.append(c)
+        return caches
 
     def precompute_src(self, eouts):
-        """Per-layer cross-attn KV precompute for decoding."""
+        """Per-layer cross-attn KV precompute for decoding (None for MMA
+        layers, which take raw eouts per step)."""
         eouts = self._bridge(eouts)
         caches = []
-        for blk in self.blocks:
+        for lth, blk in enumerate(self.blocks):
+            if self._is_mma(lth):
+                caches.append({"k": eouts[:, :0], "v": eouts[:, :0]})
+                continue
             # compute K/V through the block's src_attn projections
             _, cache, _ = blk(jnp.zeros(
                 (eouts.shape[0], 1, self.d_model), eouts.dtype),
@@ -167,15 +248,27 @@ class TransformerDecoder(nn.Module):
             caches.append(cache["src"])
         return caches
 
-    def decode_step(self, caches, src_caches, y_t, src_mask, offset):
-        """One token step. caches: list of {'self': kv}; y_t: [B].
-        offset: static int position. Returns (new_caches, logits [B, V])."""
+    def decode_step(self, caches, src_caches, y_t, src_mask, offset,
+                    eouts=None):
+        """One token step. caches: list of {'self': kv [, 'alpha']};
+        y_t: [B]; offset: static int position; eouts: required when MMA
+        layers are present. Returns (new_caches, logits [B, V])."""
         h = self.pos_enc(self.embed(y_t[:, None]), offset, True)
+        if eouts is not None:
+            eouts = self._bridge(eouts)
         new_caches = []
-        for blk, cache, src_kv in zip(self.blocks, caches, src_caches):
-            h, nc, _ = blk(h, None, jnp.zeros(
-                (h.shape[0], 1, self.d_model), h.dtype),
-                src_mask, cache["self"], src_kv, True)
-            new_caches.append({"self": nc["self"]})
+        for lth, (blk, cache, src_kv) in enumerate(
+                zip(self.blocks, caches, src_caches)):
+            if self._is_mma(lth):
+                h, nc, _ = blk(h, None, eouts, src_mask,
+                               cache["self"], None, True,
+                               alpha_prev=cache["alpha"])
+                new_caches.append({"self": nc["self"],
+                                   "alpha": nc["alpha"]})
+            else:
+                h, nc, _ = blk(h, None, jnp.zeros(
+                    (h.shape[0], 1, self.d_model), h.dtype),
+                    src_mask, cache["self"], src_kv, True)
+                new_caches.append({"self": nc["self"]})
         logits = self.output(self.norm_out(h))[:, 0]
         return new_caches, logits

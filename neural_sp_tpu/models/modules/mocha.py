@@ -324,3 +324,35 @@ class MoChA(nn.Module):
                          beta.reshape(bs, h_ma * h_ca, t), v)
         ctx = self.w_out(ctx.reshape(bs, -1))
         return ctx, alpha, beta
+
+
+class MMAStep(nn.Module):
+    """nn.scan-compatible MoChA step for Transformer-decoder MMA source
+    attention (reference transformer.py:164-179): carry = alpha_prev
+    [B, H_ma, T]; one query per step. Hard mode at inference, parallel in
+    training (deterministic flag), matching the MoChA convention."""
+    kdim: int
+    qdim: int
+    adim: int
+    chunk_size: int = 1
+    n_heads_mono: int = 1
+    n_heads_chunk: int = 1
+    init_r: float = -4.0
+    eps_wait: int = -1
+    noise_std: float = 1.0
+
+    def setup(self):
+        self.mocha = MoChA(
+            kdim=self.kdim, qdim=self.qdim, adim=self.adim,
+            chunk_size=self.chunk_size, n_heads_mono=self.n_heads_mono,
+            n_heads_chunk=self.n_heads_chunk, init_r=self.init_r,
+            eps_wait=self.eps_wait, noise_std=self.noise_std,
+            external_keys=True)
+
+    def __call__(self, alpha_prev, query, key_cache, mask,
+                 deterministic: bool = True):
+        ctx, alpha, beta = self.mocha(
+            key_cache, query, alpha_prev,
+            mode="hard" if deterministic else "parallel",
+            mask=mask, deterministic=deterministic)
+        return alpha, (ctx, alpha)

@@ -167,3 +167,36 @@ def test_las_mocha_mma_beam_decode():
                               DecodeConfig(beam_width=3, ctc_weight=0.3))
     hyps = sess.decode_attention_beam(xs, xlens)
     assert len(hyps) == 1
+
+
+def test_transformer_decoder_mma_training_and_beam():
+    """Streaming-MMA transformer decoder: training with quantity loss +
+    beam decode with monotonic source attention."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="blstm", input_dim=20, enc_n_units=16, enc_n_layers=1,
+        dec_type="transformer", transformer_d_model=16, transformer_d_ff=32,
+        transformer_n_heads=2, dec_n_layers=2, mocha_first_layer=2,
+        mocha_chunk_size=2, mocha_n_heads_mono=2, mocha_eps_wait=4,
+        mocha_quantity_loss_weight=1.0, vocab=11, ctc_weight=0.3)
+    model = build_speech2text(args)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((2, 20, 20)), jnp.float32)
+    xlens = jnp.asarray([20, 14])
+    ys = jnp.asarray([[4, 5, 6, 3], [7, 8, 3, 3]], jnp.int32)
+    ylens = jnp.asarray([3, 2])
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    loss, obs = model.apply(v, xs, xlens, ys, ylens, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    assert "loss_quantity" in obs and np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply(
+        p, xs, xlens, ys, ylens, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)})[0])(v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    sess = Speech2TextSession(model, v["params"],
+                              DecodeConfig(beam_width=3, ctc_weight=0.3))
+    hyps = sess.decode_attention_beam(xs[:1], xlens[:1])
+    assert len(hyps) == 1
