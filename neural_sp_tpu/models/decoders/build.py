@@ -82,4 +82,8 @@ def build_decoder(args, vocab: int, enc_n_units: int,
         quantity_loss_weight=_get(args, "mocha_quantity_loss_weight", 0.0),
         latency_metric=_get(args, "mocha_latency_metric", "") or "",
         latency_loss_weight=_get(args, "mocha_latency_loss_weight", 0.0),
+        lm_fusion=_get(args, "lm_fusion", "") or "",
+        lm_n_units=_get(args, "lm_n_units", 512),
+        lm_n_layers=_get(args, "lm_n_layers", 1),
+        lm_emb_dim=_get(args, "lm_emb_dim", 512),
         backward=backward)

@@ -62,6 +62,11 @@ class LASStep(nn.Module):
     mocha_no_denominator: bool = False
     mocha_eps_wait: int = -1
     mocha_stableemit_weight: float = 0.0
+    # LM fusion in the readout (reference las.py:247-258, generate :852-881)
+    lm_fusion: str = ""              # '' | cold | cold_prob | deep
+    lm_n_units: int = 512
+    lm_n_layers: int = 1
+    lm_emb_dim: int = 512
 
     def setup(self):
         self.embed = nn.Embed(self.vocab, self.emb_dim)
@@ -69,6 +74,13 @@ class LASStep(nn.Module):
         for _ in range(self.n_layers):
             cells.append(nn.OptimizedLSTMCell(self.n_units))
         self.cells = cells
+        if self.lm_fusion:
+            from ..lm.rnnlm import RNNLM
+            self.lm = RNNLM(vocab=self.vocab, n_units=self.lm_n_units,
+                            n_layers=self.lm_n_layers,
+                            emb_dim=self.lm_emb_dim)
+            self.w_lm = nn.Dense(self.bottleneck_dim)
+            self.w_gate = nn.Dense(self.bottleneck_dim)
         if self.n_projs > 0:
             self.projs = [nn.Dense(self.n_projs)
                           for _ in range(self.n_layers)]
@@ -105,9 +117,9 @@ class LASStep(nn.Module):
     def __call__(self, carry, y_t, key_cache, values, mask,
                  deterministic: bool = True):
         """carry: (cell_states tuple, aw_prev [B,Tk], ctx_prev [B,D],
-        prev_logits [B,V]); y_t: [B] int token ids.
+        prev_logits [B,V], lm_state); y_t: [B] int token ids.
         Returns (new_carry, (logits_t [B,V], aw [B,Tk]))."""
-        cell_states, aw_prev, ctx_prev, prev_logits = carry
+        cell_states, aw_prev, ctx_prev, prev_logits, lm_state = carry
         y_in = y_t
         if self.ss_prob > 0 and not deterministic:
             use_ss = jax.random.bernoulli(
@@ -144,11 +156,25 @@ class LASStep(nn.Module):
                                 key_cache=key_cache,
                                 deterministic=deterministic)
             aw_new = aw
-        attn_v = jnp.tanh(self.w_gen(
-            jnp.concatenate([ctx, douts[-1]], axis=-1)))
+        if self.lm_fusion:
+            # frozen-LM cold/deep fusion gate (reference generate :852-881)
+            lm_lp, lm_state, h_lm = self.lm.predict(y_in, lm_state)
+            lm_lp = jax.lax.stop_gradient(lm_lp)
+            h_lm = jax.lax.stop_gradient(h_lm)
+            if self.lm_fusion == "cold_prob":
+                lm_feat = self.w_lm(jnp.exp(lm_lp).astype(ctx.dtype))
+            else:
+                lm_feat = self.w_lm(h_lm.astype(ctx.dtype))
+            gate = jax.nn.sigmoid(self.w_gate(
+                jnp.concatenate([douts[-1], lm_feat], axis=-1)))
+            attn_v = jnp.tanh(self.w_gen(jnp.concatenate(
+                [ctx, douts[-1], gate * lm_feat], axis=-1)))
+        else:
+            attn_v = jnp.tanh(self.w_gen(
+                jnp.concatenate([ctx, douts[-1]], axis=-1)))
         attn_v = self.drop(attn_v, deterministic=deterministic)
         logits_t = self.output(attn_v)
-        new_carry = (tuple(new_states), aw_new, ctx, logits_t)
+        new_carry = (tuple(new_states), aw_new, ctx, logits_t, lm_state)
         return new_carry, (logits_t, aw)
 
 
@@ -186,6 +212,10 @@ class RNNDecoder(nn.Module):
     quantity_loss_weight: float = 0.0
     latency_metric: str = ""         # '' | minlt | ctc_sync
     latency_loss_weight: float = 0.0
+    lm_fusion: str = ""
+    lm_n_units: int = 512
+    lm_n_layers: int = 1
+    lm_emb_dim: int = 512
 
     def setup(self):
         fields = dict(
@@ -207,7 +237,9 @@ class RNNDecoder(nn.Module):
             mocha_noise_std=self.mocha_noise_std,
             mocha_no_denominator=self.mocha_no_denominator,
             mocha_eps_wait=self.mocha_eps_wait,
-            mocha_stableemit_weight=self.mocha_stableemit_weight)
+            mocha_stableemit_weight=self.mocha_stableemit_weight,
+            lm_fusion=self.lm_fusion, lm_n_units=self.lm_n_units,
+            lm_n_layers=self.lm_n_layers, lm_emb_dim=self.lm_emb_dim)
         self.step_scan = nn.scan(
             LASStep,
             variable_broadcast="params",
@@ -255,7 +287,11 @@ class RNNDecoder(nn.Module):
             aw0 = jnp.zeros((bs, tmax), dtype)
         ctx0 = jnp.zeros((bs, self.enc_n_units), dtype)
         logits0 = jnp.zeros((bs, self.vocab), dtype)
-        return (states, aw0, ctx0, logits0)
+        lm_state0 = [
+            (jnp.zeros((bs, self.lm_n_units), dtype),
+             jnp.zeros((bs, self.lm_n_units), dtype))
+            for _ in range(self.lm_n_layers)] if self.lm_fusion else None
+        return (states, aw0, ctx0, logits0, lm_state0)
 
     def __call__(self, eouts, elens, ys, ylens, deterministic: bool = True,
                  trigger_points=None, return_logits: bool = False,
@@ -394,3 +430,45 @@ class RNNDecoder(nn.Module):
             jnp.concatenate([toks == EOS, jnp.ones((bs, 1), bool)], 1),
             axis=1)
         return toks, lens.astype(jnp.int32)
+
+
+def graft_lm_params(s2t_params, lm_params, dec_key: str = "dec_fwd"):
+    """Copy pretrained RNNLM params into the decoder's fusion LM
+    (reference loads + freezes an external LM for cold fusion).
+
+    Returns a new params tree; freeze with ``lm_fusion_freeze_mask``.
+    """
+    import copy
+    out = jax.tree.map(lambda x: x, s2t_params)  # shallow-ish copy
+    step = out[dec_key]["step"]
+    assert "lm" in step, "decoder has no fusion LM (set lm_fusion)"
+    step = dict(step)
+    step["lm"] = lm_params
+    d = dict(out[dec_key])
+    d["step"] = step
+    out = dict(out)
+    out[dec_key] = d
+    return out
+
+
+def lm_fusion_freeze_mask(s2t_params, dec_key: str = "dec_fwd"):
+    """optax mask pytree: False (frozen) for the fusion LM subtree."""
+    def mark(path_has_lm, tree):
+        return jax.tree.map(lambda _: not path_has_lm, tree)
+
+    out = {}
+    for k, v in s2t_params.items():
+        if k != dec_key:
+            out[k] = mark(False, v)
+            continue
+        sub = {}
+        for k2, v2 in v.items():
+            if k2 != "step":
+                sub[k2] = mark(False, v2)
+                continue
+            step = {}
+            for k3, v3 in v2.items():
+                step[k3] = mark(k3 == "lm", v3)
+            sub[k2] = step
+        out[k] = sub
+    return out

@@ -157,3 +157,46 @@ def test_lm_dataset_windows(tmp_path):
                     bptt=5, backward=True)
     xib, _ = next(iter(dsb))
     assert xib.shape == xi.shape
+
+
+def test_cold_fusion_training_and_graft():
+    """Decoder-level cold fusion: pretrained LM grafted + frozen."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.las import (
+        graft_lm_params, lm_fusion_freeze_mask)
+    args = SimpleNamespace(enc_type="blstm", input_dim=20, enc_n_units=16,
+                           enc_n_layers=1, dec_type="lstm", dec_n_units=16,
+                           dec_n_layers=1, emb_dim=8, dec_bottleneck_dim=16,
+                           attn_dim=16, attn_conv_width=9, vocab=VOCAB,
+                           ctc_weight=0.0, lm_fusion="cold",
+                           lm_fusion_n_units=16)
+    # build_decoder wiring
+    args.lm_n_units = 16
+    args.lm_n_layers = 1
+    args.lm_emb_dim = 8
+    model = build_speech2text(args)
+    xs = jnp.asarray(np.random.default_rng(0).standard_normal((2, 20, 20)),
+                     jnp.float32)
+    xlens = jnp.asarray([20, 15])
+    ys = jnp.asarray([[4, 5, 6, 3], [7, 8, 3, 3]], jnp.int32)
+    ylens = jnp.asarray([3, 2])
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    assert "lm" in v["params"]["dec_fwd"]["step"]
+    loss, _ = model.apply(v, xs, xlens, ys, ylens)
+    assert np.isfinite(float(loss))
+    # graft a pretrained LM
+    lm = RNNLM(vocab=VOCAB, n_units=16, n_layers=1, emb_dim=8)
+    vlm = lm.init(RNG, ys, ys)
+    p2 = graft_lm_params(v["params"], vlm["params"])
+    loss2, _ = model.apply({"params": p2}, xs, xlens, ys, ylens)
+    assert np.isfinite(float(loss2)) and abs(float(loss2) - float(loss)) > 1e-6
+    # freeze mask marks only the lm subtree False
+    mask = lm_fusion_freeze_mask(p2)
+    leaves_mask = jax.tree.leaves(mask)
+    assert any(m is False for m in leaves_mask) and \
+        any(m is True for m in leaves_mask)
+    # frozen LM receives no gradient through stop_gradient anyway
+    g = jax.grad(lambda p: model.apply({"params": p}, xs, xlens, ys, ylens)[0])(p2)
+    lm_grads = jax.tree.leaves(g["dec_fwd"]["step"]["lm"])
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in lm_grads)
