@@ -577,10 +577,15 @@ class Speech2TextSession:
         _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
 
         if not hasattr(self, "_stream_step"):
+            # one device dispatch per block: encoder step + CTC posteriors
+            def _step(mdl, xb, c):
+                eouts_blk, new_c = mdl.encoder.streaming_step(xb, c)
+                lp = mdl.ctc.log_probs(eouts_blk) \
+                    if mdl.ctc is not None else None
+                return eouts_blk, lp, new_c
             self._stream_step = jax.jit(
                 lambda xb, cache: self.model.apply(
-                    {"params": self.params}, xb, cache,
-                    method=lambda m, xb, c: m.encoder.streaming_step(xb, c)))
+                    {"params": self.params}, xb, cache, method=_step))
         cache = enc.init_stream_cache(1)
         use_rnnt = isinstance(self.dec, RNNTransducer)
         if use_rnnt:
@@ -600,7 +605,7 @@ class Speech2TextSession:
         n_resets = 0
         factor = enc.subsampling_factor
         for block, n_new, is_last in driver:
-            eouts_blk, cache = self._stream_step(
+            eouts_blk, lp_blk, cache = self._stream_step(
                 jnp.asarray(block)[None], cache)
             n_out = -(-n_new // factor)
             if use_rnnt:
@@ -611,7 +616,7 @@ class Speech2TextSession:
                     version="mono")
                 n_frames += n_new
                 continue
-            lp = np.asarray(self._ctc_logp(eouts_blk))[0][:n_out]
+            lp = np.asarray(lp_blk)[0][:n_out]
             beam.step(lp)
             n_frames += n_new
             is_reset, _ = ctc_reset_point_detection(
