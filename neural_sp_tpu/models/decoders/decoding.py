@@ -638,6 +638,50 @@ class Speech2TextSession:
         return hyp, stats
 
     # ------------------------------------------------------------------ #
+    def decode_streaming_device(self, x_whole):
+        """Whole-stream on-device greedy streaming decode: ONE jit dispatch
+        runs the cached encoder + CTC over all blocks (lax.scan); the host
+        only collapses the final path. The low-latency-budget complement to
+        ``decode_streaming`` (which runs a beam + VAD per block).
+
+        Returns (hyp ids, stats)."""
+        import time
+        from ...frontends.streaming import StreamingDriver
+        from ..encoders.transformer import XformerEncoder
+        from .ctc import collapse_path
+
+        enc = self.model.encoder
+        assert isinstance(enc, XformerEncoder)
+        total_in, hop_in = enc.block_input_frames()
+        _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
+        factor = enc.subsampling_factor
+        if not hasattr(self, "_stream_scan"):
+            self._stream_scan = jax.jit(lambda blocks: self.model.apply(
+                {"params": self.params}, blocks,
+                method=self.model.streaming_ctc_scan))
+
+        t0 = time.time()
+        blocks = []
+        n_valid = []
+        for block, n_new, _ in StreamingDriver(x_whole, total_in, hop_in,
+                                               cnn_ctx_in):
+            blocks.append(block)
+            n_valid.append(-(-n_new // factor))
+        # pad the block count to a multiple of 8 -> few compiled shapes
+        while len(blocks) % 8:
+            blocks.append(np.zeros_like(blocks[0]))
+            n_valid.append(0)
+        ids = np.asarray(self._stream_scan(
+            jnp.asarray(np.stack(blocks))))       # [N, n_c]
+        path = np.concatenate(
+            [ids[i, :nv] for i, nv in enumerate(n_valid)])
+        hyp = collapse_path(path)
+        elapsed = time.time() - t0
+        n_frames = x_whole.shape[0]
+        return hyp, {"rtf": elapsed / max(n_frames * 0.01, 1e-6),
+                     "n_frames": n_frames, "n_resets": 0}
+
+    # ------------------------------------------------------------------ #
     def _rnnt_fns(self):
         if not hasattr(self, "_rnnt_pred"):
             self._rnnt_pred = jax.jit(lambda y, c: self.model.apply(

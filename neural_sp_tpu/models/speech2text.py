@@ -86,6 +86,30 @@ class Speech2Text(nn.Module):
             return out
         return out, None
 
+    def streaming_ctc_scan(self, blocks):
+        """Fully on-device streaming CTC: scan the cached encoder + CTC
+        argmax over pre-split feature blocks — ONE device dispatch for the
+        whole stream (the reference's python block loop,
+        speech2text.py:550-698, collapses into a lax.scan).
+
+        blocks: [N, block_total_in, D] for a single utterance.
+        Returns per-block argmax ids [N, n_c_out].
+        """
+        import flax.linen as nn
+
+        cache0 = self.encoder.init_stream_cache(1)
+
+        def body(mdl, cache, block):
+            eouts, new_cache = mdl.encoder.streaming_step(block[None], cache)
+            ids = jnp.argmax(mdl.ctc.logits(eouts), -1)[0]
+            return new_cache, ids
+
+        scanned = nn.scan(body, variable_broadcast="params",
+                          split_rngs={"params": False},
+                          in_axes=0, out_axes=0)
+        _, ids = scanned(self, cache0, blocks)
+        return ids
+
     def __call__(self, xs, xlens, ys, ylens, ys_sub1=None, ylens_sub1=None,
                  ys_sub2=None, ylens_sub2=None, task: str = "all",
                  deterministic: bool = True):

@@ -197,3 +197,27 @@ def test_decode_streaming_end_to_end():
     assert len(hyp_stream) > 0
     # streaming and offline agree on the trained utterance
     assert hyp_stream == off[0], (hyp_stream, off[0])
+
+
+def test_decode_streaming_device_matches_greedy():
+    """On-device whole-stream scan == block-loop greedy collapse."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="uni_transformer", input_dim=12, enc_n_layers=2,
+        transformer_d_model=16, transformer_d_ff=32, transformer_n_heads=2,
+        transformer_enc_pe_type="relative", lc_chunk_size_left=8,
+        lc_chunk_size_current=4, lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", vocab=9, ctc_weight=1.0)
+    model = build_speech2text(args)
+    x = np.random.default_rng(0).standard_normal((30, 12)).astype(np.float32)
+    v = model.init(RNG, jnp.asarray(x)[None], jnp.asarray([30]),
+                   jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    sess = Speech2TextSession(model, v["params"], DecodeConfig(beam_width=1))
+    hyp_dev, stats = sess.decode_streaming_device(x)
+    # offline greedy over the streaming (mask-mode) encoder == device scan
+    off = sess.decode_ctc_greedy(x[None], np.asarray([30]))
+    assert stats["n_frames"] == 30
+    assert hyp_dev == off[0], (hyp_dev, off[0])
