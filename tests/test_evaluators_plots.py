@@ -113,3 +113,37 @@ def test_forced_align_cli_shape(tiny_setup, tmp_path):
         jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]),
         method=lambda m, *a: m.ctc.trigger_points(*a))
     assert trig.shape == batch["ys"].shape
+
+
+def test_plot_cache_weights(tmp_path):
+    from neural_sp_tpu.models.lm.rnnlm import RNNLM
+    from neural_sp_tpu.models.lm.session import LMSession
+    from neural_sp_tpu.bin.lm.plot_cache import plot_cache_weights
+    lm = RNNLM(vocab=12, n_units=8, n_layers=1, emb_dim=8)
+    ys = jnp.ones((1, 4), jnp.int32)
+    v = lm.init(RNG, ys, ys)
+    sess = LMSession(lm, v["params"], cache_size=8)
+    p = plot_cache_weights(sess, [2, 4, 5, 6, 7, 4, 5, 6] * 3,
+                           str(tmp_path / "cache.png"), n_tokens=16)
+    import os
+    assert os.path.exists(p)
+
+
+def test_example_configs_parse_and_build():
+    """Every example YAML must parse and build a model/LM."""
+    import glob, yaml
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.lm.build import build_lm
+    for path in glob.glob("examples/*/conf/**/*.yaml", recursive=True):
+        with open(path) as f:
+            conf = yaml.safe_load(f)
+        conf["vocab"] = 50
+        conf["input_dim"] = 80
+        args = SimpleNamespace(**conf)
+        if "lm_type" in conf:
+            lm = build_lm(args)
+            assert lm is not None, path
+        else:
+            model = build_speech2text(args)
+            assert model is not None, path
