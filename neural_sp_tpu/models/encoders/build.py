@@ -97,6 +97,7 @@ def build_encoder(args):
             chunk_size_current=_get(args, "lc_chunk_size_current", -1),
             chunk_size_right=_get(args, "lc_chunk_size_right", 0),
             streaming_type=_get(args, "lc_type", "mask"),
+            remat=_get(args, "recompute_encoder", False),
         )
 
     if core == "tds":

@@ -166,6 +166,7 @@ class XformerEncoder(nn.Module):
     chunk_size_current: int = -1
     chunk_size_right: int = 0
     streaming_type: str = "mask"        # reshape | mask
+    remat: bool = False                 # jax.checkpoint each block (memory)
 
     @property
     def conv_factor(self) -> int:
@@ -208,11 +209,15 @@ class XformerEncoder(nn.Module):
             "add" if self.pe_type in ("add", "1dconv3L_add") else "none",
             self.dropout)
         self.drop_in = nn.Dropout(self.dropout_in)
+        # trade FLOPs for HBM: recompute each block in the backward
+        block_cls = nn.remat(
+            EncoderBlock, static_argnums=(5, 6, 7)) if self.remat \
+            else EncoderBlock
         blocks = []
         for lth in range(self.n_layers):
             # deeper layers dropped more (reference transformer.py:226)
             p = self.dropout_layer * (lth + 1) / max(self.n_layers, 1)
-            blocks.append(EncoderBlock(
+            blocks.append(block_cls(
                 d_model=self.d_model, d_ff=self.d_ff, n_heads=self.n_heads,
                 btype=self.btype, dropout=self.dropout,
                 dropout_att=self.dropout_att, dropout_layer=p,
@@ -289,8 +294,8 @@ class XformerEncoder(nn.Module):
         h = xs
         for lth in range(self.n_layers):
             h, _, aws = self.blocks[lth](
-                h, mask, pad_mask, deterministic=deterministic,
-                return_weights=return_weights)
+                h, mask, pad_mask, None, None, deterministic,
+                return_weights, None)
             if return_weights:
                 aws_all.append(aws)
 
