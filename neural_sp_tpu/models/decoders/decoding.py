@@ -49,6 +49,7 @@ class DecodeConfig:
     lm_second_weight: float = 0.0    # second-pass n-best rescoring
     lm_bwd_weight: float = 0.0       # backward-LM rescoring
     fwd_bwd_attention: bool = False  # merge fwd/bwd decoder n-bests
+    state_carry_over: bool = False   # speaker-keyed decoder state carry-over
 
 
 class Speech2TextSession:
@@ -153,15 +154,18 @@ class Speech2TextSession:
                 for b in range(toks.shape[0])]
 
     # ------------------------------------------------------------------ #
-    def decode_attention_beam(self, xs, xlens):
+    def decode_attention_beam(self, xs, xlens, speakers=None):
         """Batched-beam label-synchronous search, one utterance at a time
-        (reference eval protocol, bs=1)."""
+        (reference eval protocol, bs=1). ``speakers`` enables speaker-keyed
+        decoder state carry-over across consecutive utterances (reference
+        las.py:1155-1165)."""
         eouts_all = self.encode(xs, xlens)
         self._ens_eouts = [s.encode(xs, xlens) for s in self.ensemble]
         bs = eouts_all["ys"]["xs"].shape[0]
         results = []
         for b in range(bs):
             self._b_idx = b
+            self._cur_speaker = speakers[b] if speakers is not None else None
             e = eouts_all["ys"]["xs"][b:b + 1]
             el = eouts_all["ys"]["xlens"][b:b + 1]
             if isinstance(self.dec, TransformerDecoder):
@@ -232,6 +236,15 @@ class Speech2TextSession:
         mask = make_pad_mask(jnp.repeat(el, beam, 0), tmax)
         kc = self._keys(e_t)
         carry = dec.init_carry(beam, tmax, e.dtype)
+        # speaker-keyed LSTM-state carry-over across utterances
+        spk = getattr(self, "_cur_speaker", None)
+        if conf.state_carry_over and spk is not None and \
+                spk in getattr(self, "_spk_states", {}):
+            prev = self._spk_states[spk]
+            cells = tuple(
+                tuple(jnp.repeat(x, beam, axis=0) for x in layer)
+                for layer in prev)
+            carry = (cells,) + carry[1:]
 
         # internal-LM estimation: a parallel decode with zeroed encoder
         # context (reference ILM subtraction las.py:1190-1256)
@@ -409,6 +422,12 @@ class Speech2TextSession:
         if not finished:
             finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
         finished.sort(key=lambda d: -d["score"])
+        if conf.state_carry_over and spk is not None:
+            if not hasattr(self, "_spk_states"):
+                self._spk_states = {}
+            # final LSTM states of the current top beam entry
+            self._spk_states[spk] = tuple(
+                tuple(x[0:1] for x in layer) for layer in carry[0])
         nbest = [[t for t in f["hyp"] if t != EOS]
                  for f in finished[: self.conf.n_best]]
         return nbest[0], nbest
@@ -543,6 +562,11 @@ class Speech2TextSession:
     # ------------------------------------------------------------------ #
     def decode(self, xs, xlens):
         """Dispatch like reference Speech2Text.decode (:709-831)."""
+        speakers = None
+        if isinstance(xs, dict):  # batch dict passthrough
+            speakers = xs.get("speakers")
+            xlens = xs["xlens"]
+            xs = xs["xs"]
         if self.model.dec_fwd is None or \
                 (self.model.ctc_weight >= 1.0):
             if self.conf.beam_width > 1:
@@ -552,7 +576,7 @@ class Speech2TextSession:
             return self.decode_transducer_greedy(xs, xlens)
         if self.conf.beam_width <= 1 and isinstance(self.dec, RNNDecoder):
             return self.decode_attention_greedy(xs, xlens)
-        return self.decode_attention_beam(xs, xlens)
+        return self.decode_attention_beam(xs, xlens, speakers=speakers)
 
     # ------------------------------------------------------------------ #
     def decode_streaming(self, x_whole, blank_threshold: int = 40,

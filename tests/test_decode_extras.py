@@ -149,3 +149,15 @@ def test_weight_noise_step():
     p2, o2, m = step(params, tx.init(params), jax.random.PRNGKey(0),
                      xs, xlens, ys, ylens)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_speaker_state_carry_over():
+    model, params, xs, xlens = _model()
+    sess = Speech2TextSession(
+        model, params, DecodeConfig(beam_width=3, state_carry_over=True))
+    h1 = sess.decode_attention_beam(xs, xlens, speakers=["spk0"])
+    assert "spk0" in sess._spk_states
+    # same speaker again: decoding starts from the carried state and runs
+    h2 = sess.decode_attention_beam(xs, xlens, speakers=["spk0"])
+    h3 = sess.decode_attention_beam(xs, xlens, speakers=["spk1"])
+    assert len(h2) == len(h3) == 1
