@@ -131,11 +131,28 @@ def main(argv=None):
         train_set.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(train_set):
+            # jax.profiler trace window (SURVEY.md §5: the reference has no
+            # profiler integration; we expose one via flags)
+            pstart = getattr(args, "profile_start_step", 0)
+            pn = getattr(args, "profile_n_steps", 0)
+            if pn > 0 and reporter.step >= pstart and \
+                    not getattr(reporter, "_tracing", False):
+                jax.profiler.start_trace(os.path.join(save_dir, "trace"))
+                reporter._tracing = True
+                reporter._trace_end = reporter.step + pn
             rng, key = jax.random.split(rng)
             params, opt_state, metrics = step_fn(
                 params, opt_state, key,
                 jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
                 jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+            if getattr(reporter, "_tracing", False) and \
+                    reporter.step + 1 >= reporter._trace_end:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                reporter._tracing = False
+                args.profile_n_steps = 0
+                logger.info("wrote profiler trace to %s",
+                            os.path.join(save_dir, "trace"))
             reporter.add_observation(metrics)
             reporter.step_forward()
             if reporter.step % args.print_step == 0:
