@@ -49,12 +49,17 @@ def parse_cli(argv: list[str], defaults: dict | None = None) -> SimpleNamespace:
         tok = argv[i]
         assert tok.startswith("--"), f"expected --flag, got {tok}"
         key = tok[2:].replace("-", "_")
-        if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
-            val = _parse_value(argv[i + 1])
-            i += 2
-        else:
-            val = True
+        vals = []
+        i += 1
+        while i < len(argv) and not argv[i].startswith("--"):
+            vals.append(_parse_value(argv[i]))
             i += 1
+        if not vals:
+            val = True           # bare flag
+        elif len(vals) == 1:
+            val = vals[0]
+        else:
+            val = vals           # multi-value flag (e.g. --recog_sets a b)
         pending[key] = val
     for ckey in ("config", "config2"):
         if ckey in pending:

@@ -127,7 +127,39 @@ def main(argv=None):
 
     reporter = Reporter(save_dir)
     rng = jax.random.PRNGKey(args.seed)
+
+    # Epoch-gated curriculum (reference decoder_base.py:19-155): losses and
+    # scheduled sampling activate at their start epochs. Module fields are
+    # param-shape-independent, so each phase is just a different jitted step
+    # over the same params; phases are cached to avoid recompiles.
+    _phase_steps = {}
+
+    def phase_overrides(epoch) -> tuple:
+        over = []
+        for flag, field in (("ss_start_epoch", "ss_prob"),
+                            ("mocha_quantity_loss_start_epoch",
+                             "mocha_quantity_loss_weight"),
+                            ("mocha_latency_loss_start_epoch",
+                             "mocha_latency_loss_weight")):
+            start = getattr(args, flag, 0)
+            if start and epoch < start and getattr(args, field, 0):
+                over.append((field, 0.0))
+        return tuple(over)
+
+    def step_for_epoch(epoch):
+        over = phase_overrides(epoch)
+        if over not in _phase_steps:
+            if over:
+                from types import SimpleNamespace
+                sub = SimpleNamespace(**{**vars(args), **dict(over)})
+                _phase_steps[over] = make_train_step(
+                    build_speech2text(sub), tx, mesh)
+            else:
+                _phase_steps[over] = step_fn
+        return _phase_steps[over]
+
     for epoch in range(start_epoch, args.n_epochs + 1):
+        epoch_step_fn = step_for_epoch(epoch)
         train_set.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(train_set):
@@ -141,7 +173,7 @@ def main(argv=None):
                 reporter._tracing = True
                 reporter._trace_end = reporter.step + pn
             rng, key = jax.random.split(rng)
-            params, opt_state, metrics = step_fn(
+            params, opt_state, metrics = epoch_step_fn(
                 params, opt_state, key,
                 jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
                 jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))

@@ -106,3 +106,12 @@ def test_model_name():
     assert set_lm_name(SimpleNamespace(lm_type="lstm", n_layers=2,
                                        n_units=1024, emb_dim=1024,
                                        bptt=64))
+
+
+def test_parse_cli_multi_value_and_bare_flags():
+    from neural_sp_tpu.bin.args import parse_cli
+    args = parse_cli(["--recog_sets", "a.tsv", "b.tsv", "--recog_length_norm",
+                      "--beam", "4"])
+    assert args.recog_sets == ["a.tsv", "b.tsv"]
+    assert args.recog_length_norm is True
+    assert args.beam == 4
