@@ -124,19 +124,19 @@ class Speech2TextSession:
         cache: dict = {}
 
         def lm_fn(prefix):
+            # memoised by prefix; reuses the parent prefix's cached state so
+            # each new prefix costs exactly one LM step
             if prefix not in cache:
-                state = self.lm.initial_state(1)
-                ids = [EOS] + list(prefix)
-                for t in ids[:-1] if len(ids) > 1 else []:
-                    _, state = self.lm.predict(
-                        np.asarray([ids[ids.index(t)]], np.int32), state)
-                # recompute cleanly: feed all ids
-                state = self.lm.initial_state(1)
-                lp = None
-                for t in ids:
-                    lp, state = self.lm.predict(np.asarray([t], np.int32),
-                                                state)
+                if prefix:
+                    _ = lm_fn(prefix[:-1])  # ensure parent state exists
+                    state = cache[("state",) + prefix[:-1]]
+                    y = prefix[-1]
+                else:
+                    state = self.lm.initial_state(1)
+                    y = EOS
+                lp, state = self.lm.predict(np.asarray([y], np.int32), state)
                 cache[prefix] = np.asarray(lp[0])
+                cache[("state",) + prefix] = state
             return cache[prefix]
 
         return lm_fn
