@@ -116,7 +116,20 @@ def main(argv=None):
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
         opt_state = jax.device_put(opt_state, replicated(mesh))
-    step_fn = make_train_step(model, tx, mesh)
+    rsp_prob = getattr(args, "rsp_prob", 0.0)
+    rsp_carry = None
+    if rsp_prob > 0:
+        # Random State Passing (reference rnn.py:323-327): thread the RNN
+        # encoder carry across batches w.p. rsp_prob
+        from ...parallel.mesh import make_rsp_train_step
+        step_fn = make_rsp_train_step(model, tx, rsp_prob, mesh)
+        _, carry0 = model.apply(
+            {"params": params}, jnp.asarray(batch0["xs"]),
+            jnp.asarray(batch0["xlens"]), method=model.encode)
+        assert carry0 is not None, "rsp_prob requires an RNN encoder"
+        rsp_carry = jax.tree.map(jnp.zeros_like, carry0)
+    else:
+        step_fn = make_train_step(model, tx, mesh)
 
     save_config(vars(args), os.path.join(save_dir, "conf.yml"))
     for aux in ("dict", "wp_model"):
@@ -152,8 +165,14 @@ def main(argv=None):
             if over:
                 from types import SimpleNamespace
                 sub = SimpleNamespace(**{**vars(args), **dict(over)})
-                _phase_steps[over] = make_train_step(
-                    build_speech2text(sub), tx, mesh)
+                phase_model = build_speech2text(sub)
+                if rsp_prob > 0:
+                    from ...parallel.mesh import make_rsp_train_step
+                    _phase_steps[over] = make_rsp_train_step(
+                        phase_model, tx, rsp_prob, mesh)
+                else:
+                    _phase_steps[over] = make_train_step(
+                        phase_model, tx, mesh)
             else:
                 _phase_steps[over] = step_fn
         return _phase_steps[over]
@@ -173,10 +192,19 @@ def main(argv=None):
                 reporter._tracing = True
                 reporter._trace_end = reporter.step + pn
             rng, key = jax.random.split(rng)
-            params, opt_state, metrics = epoch_step_fn(
-                params, opt_state, key,
-                jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
-                jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+            if rsp_prob > 0:
+                if batch["xs"].shape[0] != jax.tree.leaves(
+                        rsp_carry)[0].shape[0]:
+                    rsp_carry = jax.tree.map(jnp.zeros_like, rsp_carry)
+                params, opt_state, rsp_carry, metrics = epoch_step_fn(
+                    params, opt_state, key, rsp_carry,
+                    jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+            else:
+                params, opt_state, metrics = epoch_step_fn(
+                    params, opt_state, key,
+                    jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
             if getattr(reporter, "_tracing", False) and \
                     reporter.step + 1 >= reporter._trace_end:
                 jax.block_until_ready(metrics["loss"])

@@ -86,6 +86,30 @@ class Speech2Text(nn.Module):
             return out
         return out, None
 
+    def forward_with_carry(self, xs, xlens, ys, ylens, enc_carry,
+                           deterministic: bool = False):
+        """Training forward that threads the RNN-encoder hidden state across
+        batches (Random State Passing, reference rnn.py:323-327).
+
+        Returns (loss, obs, new_enc_carry)."""
+        xs, xlens = self._frontend(xs, xlens, deterministic)
+        eouts, new_carry = self.encoder(
+            xs, xlens, task="all", deterministic=deterministic,
+            carry=enc_carry)
+        loss = jnp.zeros((), jnp.float32)
+        obs = {}
+        ex, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+        if self.ctc is not None and self.ctc_weight > 0:
+            loss_ctc, _ = self.ctc(ex, el, ys, ylens, deterministic)
+            loss += self.ctc_weight * loss_ctc
+            obs["loss_ctc"] = loss_ctc
+        if self.dec_fwd is not None and self.fwd_weight > 0:
+            loss_att, obs_att = self.dec_fwd(ex, el, ys, ylens, deterministic)
+            loss += self.fwd_weight * loss_att
+            obs.update(obs_att)
+        obs["loss"] = loss
+        return loss, obs, new_carry
+
     def streaming_ctc_scan(self, blocks):
         """Fully on-device streaming CTC: scan the cached encoder + CTC
         argmax over pre-split feature blocks — ONE device dispatch for the

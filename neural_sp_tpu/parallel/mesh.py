@@ -98,3 +98,48 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
     )
+
+
+def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None):
+    """Training step with Random State Passing: the RNN-encoder carry from
+    the previous batch is re-used with probability ``rsp_prob`` (reference
+    rnn.py:323-327), else reset to zeros.
+
+    step(params, opt_state, rng, carry, xs, xlens, ys, ylens)
+      -> (params, opt_state, new_carry, metrics)
+    """
+    import optax
+
+    def step(params, opt_state, rng, carry, xs, xlens, ys, ylens):
+        use = jax.random.bernoulli(jax.random.fold_in(rng, 3), rsp_prob)
+        carry_in = jax.tree.map(
+            lambda c: jnp.where(use, c, jnp.zeros_like(c)), carry)
+
+        def loss_fn(p):
+            loss, obs, new_carry = model.apply(
+                {"params": p}, xs, xlens, ys, ylens, carry_in, False,
+                rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)},
+                method=model.forward_with_carry)
+            scalars = {k: v for k, v in obs.items()
+                       if hasattr(v, "ndim") and v.ndim == 0}
+            return loss, (scalars, new_carry)
+
+        (loss, (scalars, new_carry)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        new_carry = jax.tree.map(jax.lax.stop_gradient, new_carry)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(scalars)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, new_carry, metrics
+
+    if mesh is None:
+        return jax.jit(step)
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, data, data, data, data, data),
+        out_shardings=(repl, repl, data, repl),
+    )

@@ -161,3 +161,27 @@ def test_speaker_state_carry_over():
     h2 = sess.decode_attention_beam(xs, xlens, speakers=["spk0"])
     h3 = sess.decode_attention_beam(xs, xlens, speakers=["spk1"])
     assert len(h2) == len(h3) == 1
+
+
+def test_rsp_training_step():
+    """Random State Passing: carry threads through the train step."""
+    from neural_sp_tpu.parallel.mesh import make_rsp_train_step
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+    model, params, xs, xlens = _model(ctc_weight=0.3)
+    ys = jnp.asarray([[4, 5, 6]], jnp.int32)
+    ylens = jnp.asarray([3])
+    # carry template from a dry encode
+    _, carry = model.apply({"params": params}, xs, xlens,
+                           method=model.encode)
+    carry = jax.tree.map(jnp.zeros_like, carry)
+    tx = build_optimizer("adam", lr=1e-3)
+    step = make_rsp_train_step(model, tx, rsp_prob=1.0)
+    p, o, new_carry, m = step(params, tx.init(params),
+                              jax.random.PRNGKey(0), carry,
+                              xs, xlens, ys, ylens)
+    assert np.isfinite(float(m["loss"]))
+    # the carried state is non-zero after a step and feeds the next one
+    assert max(float(jnp.abs(x).max()) for x in jax.tree.leaves(new_carry)) > 0
+    p, o, new_carry2, m2 = step(p, o, jax.random.PRNGKey(1), new_carry,
+                                xs, xlens, ys, ylens)
+    assert np.isfinite(float(m2["loss"]))
