@@ -349,7 +349,8 @@ class Speech2TextSession:
                 total = total_ctc
 
             flat = total.reshape(-1)
-            top = np.argpartition(-flat, beam)[: beam * 2]
+            k = min(beam * 2, flat.size - 1)
+            top = np.argpartition(-flat, k)[: beam * 2]
             top = top[np.argsort(-flat[top])]
 
             new_hyps, new_scores, new_y, parents = [], [], [], []
@@ -502,7 +503,8 @@ class Speech2TextSession:
                 total = tot2
 
             flat = total.reshape(-1)
-            top = np.argpartition(-flat, beam)[: beam * 2]
+            k = min(beam * 2, flat.size - 1)
+            top = np.argpartition(-flat, k)[: beam * 2]
             top = top[np.argsort(-flat[top])]
             new_hyps, new_scores, new_y, parents = [], [], [], []
             new_slm, new_ctc_beam = [], []
