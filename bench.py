@@ -52,14 +52,19 @@ def main():
     params, opt_state, m = step(params, opt_state, key, xs, xlens, ys, ylens)
     jax.block_until_ready(m["loss"])  # compile + warm
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        params, opt_state, m = step(params, opt_state,
-                                    jax.random.fold_in(key, i),
-                                    xs, xlens, ys, ylens)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / n_iters
+    # enough iterations that per-dispatch host/tunnel jitter amortises;
+    # best-of-3 windows guards against transient contention
+    n_iters = 40
+    best_dt = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            params, opt_state, m = step(params, opt_state,
+                                        jax.random.fold_in(key, i),
+                                        xs, xlens, ys, ylens)
+        jax.block_until_ready(m["loss"])
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
+    dt = best_dt
 
     utts_per_sec = bs / dt
     print(json.dumps({
