@@ -103,7 +103,8 @@ class LASStep(nn.Module):
         else:
             self.attn = AttentionMechanism(
                 kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
-                atype=self.attn_type,
+                atype="location" if self.attn_type == "triggered"
+                else self.attn_type,
                 conv_out_channels=self.attn_conv_n_channels,
                 conv_kernel_size=self.attn_conv_kernel_size,
                 sharpening_factor=self.attn_sharpening_factor,
@@ -114,10 +115,12 @@ class LASStep(nn.Module):
         self.drop = nn.Dropout(self.dropout)
         self.drop_emb = nn.Dropout(self.dropout_emb)
 
-    def __call__(self, carry, y_t, key_cache, values, mask,
+    def __call__(self, carry, y_t, trigger_t, key_cache, values, mask,
                  deterministic: bool = True):
         """carry: (cell_states tuple, aw_prev [B,Tk], ctx_prev [B,D],
-        prev_logits [B,V], lm_state); y_t: [B] int token ids.
+        prev_logits [B,V], lm_state); y_t: [B] int token ids;
+        trigger_t: [B] per-step attention boundary (triggered attention /
+        DeCoT — pass tmax-1 to disable).
         Returns (new_carry, (logits_t [B,V], aw [B,Tk]))."""
         cell_states, aw_prev, ctx_prev, prev_logits, lm_state = carry
         y_in = y_t
@@ -141,19 +144,21 @@ class LASStep(nn.Module):
         query = douts[0]  # dout_score: first-layer output (reference :778)
         if self.attn_type == "mocha":
             # aw_prev: [B, H_ma, Tk]; hard mode at inference (parity with the
-            # reference's train/eval mode switch)
+            # reference's train/eval mode switch); trigger_t drives DeCoT
             ctx, alpha, beta = self.attn(
                 key_cache, query, aw_prev,
                 mode="hard" if deterministic else "parallel",
-                mask=mask, deterministic=deterministic)
+                mask=mask, trigger_points=trigger_t,
+                deterministic=deterministic)
             aw_new, aw = alpha, alpha
         elif self.attn_type == "gmm":
             ctx, aw, myu = self.attn(values, values, query, mask,
                                      myu_prev=aw_prev[:, :self.attn.n_mixtures])
             aw_new = jnp.zeros_like(aw_prev).at[:, :self.attn.n_mixtures].set(myu)
         else:
+            trig = trigger_t if self.attn_type == "triggered" else None
             ctx, aw = self.attn(None, values, query, mask, aw_prev,
-                                key_cache=key_cache,
+                                trigger_points=trig, key_cache=key_cache,
                                 deterministic=deterministic)
             aw_new = aw
         if self.lm_fusion:
@@ -210,8 +215,9 @@ class RNNDecoder(nn.Module):
     mocha_eps_wait: int = -1
     mocha_stableemit_weight: float = 0.0
     quantity_loss_weight: float = 0.0
-    latency_metric: str = ""         # '' | minlt | ctc_sync
+    latency_metric: str = ""         # '' | minlt | ctc_sync | decot
     latency_loss_weight: float = 0.0
+    trigger_lookahead: int = 2       # frames past the trigger point
     lm_fusion: str = ""
     lm_n_units: int = 512
     lm_n_layers: int = 1
@@ -244,7 +250,7 @@ class RNNDecoder(nn.Module):
             LASStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=(1, nn.broadcast, nn.broadcast, nn.broadcast,
+            in_axes=(1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
                      nn.broadcast),
             out_axes=1)(**fields, name="step")
         # attention key projection hoisted out of the scan
@@ -304,8 +310,19 @@ class RNNDecoder(nn.Module):
         mask = make_pad_mask(elens, tmax)
         key_cache = self._key_cache(eouts)
         carry = self.init_carry(bs, tmax, eouts.dtype)
+        if trigger_points is not None and (
+                self.attn_type == "triggered" or
+                (self.attn_type == "mocha" and self.latency_metric == "decot")):
+            # per-step boundary (+ lookahead margin, reference :165-169)
+            u1 = ys_in.shape[1]
+            trig = jnp.pad(trigger_points.astype(jnp.int32),
+                           ((0, 0), (0, max(u1 - trigger_points.shape[1], 0))),
+                           constant_values=tmax - 1)[:, :u1]
+            trig = jnp.minimum(trig + self.trigger_lookahead, tmax - 1)
+        else:
+            trig = jnp.full((bs, ys_in.shape[1]), tmax - 1, jnp.int32)
         carry, (logits, aws) = self.step_scan(
-            carry, ys_in, key_cache, eouts, mask, deterministic)
+            carry, ys_in, trig, key_cache, eouts, mask, deterministic)
         loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
                                       ignore_index=PAD)
         if teacher_probs is not None and distillation_weight > 0:
@@ -377,8 +394,9 @@ class RNNDecoder(nn.Module):
         mask = make_pad_mask(elens, tmax)
         key_cache = self._key_cache(eouts)
         carry = self.init_carry(bs, tmax, eouts.dtype)
+        trig = jnp.full((bs, ys_in.shape[1]), tmax - 1, jnp.int32)
         _, (logits, _) = self.step_scan(
-            carry, ys_in, key_cache, eouts, mask, True)
+            carry, ys_in, trig, key_cache, eouts, mask, True)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         tok_lp = jnp.take_along_axis(
             lp, jnp.maximum(ys_out, 0)[..., None], axis=-1)[..., 0]
@@ -388,8 +406,9 @@ class RNNDecoder(nn.Module):
     def decode_step(self, carry, y_t, key_cache, eouts, mask):
         """Single decode step (beam search / streaming); same params as the
         training scan (scan over one step)."""
+        trig = jnp.full((y_t.shape[0], 1), eouts.shape[1] - 1, jnp.int32)
         carry, (logits, aws) = self.step_scan(
-            carry, y_t[:, None], key_cache, eouts, mask, True)
+            carry, y_t[:, None], trig, key_cache, eouts, mask, True)
         return carry, logits[:, 0], aws[:, 0]
 
     def precompute_keys(self, eouts):
@@ -414,8 +433,10 @@ class RNNDecoder(nn.Module):
 
         def scan_body(mdl, carry, y_dummy):
             step_carry, y_prev, done = carry
+            trig = jnp.full((y_prev.shape[0], 1), tmax - 1, jnp.int32)
             step_carry, (logits, _) = mdl(
-                step_carry, y_prev[:, None], key_cache, eouts, mask, True)
+                step_carry, y_prev[:, None], trig, key_cache, eouts, mask,
+                True)
             logits = logits[:, 0]
             y = jnp.argmax(logits, -1).astype(jnp.int32)
             y = jnp.where(done, PAD, y)

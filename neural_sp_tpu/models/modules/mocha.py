@@ -286,8 +286,9 @@ class MoChA(nn.Module):
                 alpha = parallel_monotonic_attention(p_choose, alpha_prev)
             if self.stableemit_weight > 0:
                 alpha = (1 - self.stableemit_weight) * alpha
-            if self.decot and trigger_points is not None:
-                # mask alignment beyond trigger + delta (DeCoT)
+            if trigger_points is not None:
+                # mask alignment beyond trigger + delta (DeCoT); callers pass
+                # tmax-1 dummies to disable, so this is a no-op mask then
                 t_idx = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
                 lim = (trigger_points + self.decot_delta)[:, None, None]
                 alpha = jnp.where(t_idx <= lim, alpha, 0.0)

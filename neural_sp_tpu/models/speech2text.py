@@ -150,8 +150,11 @@ class Speech2Text(nn.Module):
                 obs["loss_ctc"] = loss_ctc
             if self.dec_fwd is not None and self.fwd_weight > 0:
                 trigger_points = None
-                if getattr(self.dec_fwd, "latency_metric", "") == \
-                        "ctc_sync" and self.ctc is not None:
+                needs_trig = (
+                    getattr(self.dec_fwd, "latency_metric", "") in
+                    ("ctc_sync", "decot") or
+                    getattr(self.dec_fwd, "attn_type", "") == "triggered")
+                if needs_trig and self.ctc is not None:
                     trigger_points = jax.lax.stop_gradient(
                         self.ctc.trigger_points(ex, el, ys, ylens))
                 kw = {"trigger_points": trigger_points} \

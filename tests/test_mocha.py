@@ -200,3 +200,35 @@ def test_transformer_decoder_mma_training_and_beam():
                               DecodeConfig(beam_width=3, ctc_weight=0.3))
     hyps = sess.decode_attention_beam(xs[:1], xlens[:1])
     assert len(hyps) == 1
+
+
+def test_triggered_attention_and_decot():
+    """Triggered attention restricts context to CTC boundaries; DeCoT masks
+    MoChA alignment past triggers."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((2, 24, 20)), jnp.float32)
+    xlens = jnp.asarray([24, 18])
+    ys = jnp.asarray([[4, 5, 6, 3], [7, 8, 3, 3]], jnp.int32)
+    ylens = jnp.asarray([3, 2])
+    for kw in (dict(attn_type="triggered"),
+               dict(attn_type="mocha", mocha_chunk_size=2,
+                    mocha_latency_metric="decot",
+                    mocha_latency_loss_weight=0.0)):
+        args = SimpleNamespace(enc_type="blstm", input_dim=20, enc_n_units=16,
+                               enc_n_layers=1, dec_type="lstm",
+                               dec_n_units=16, dec_n_layers=1, emb_dim=8,
+                               dec_bottleneck_dim=16, attn_dim=16,
+                               attn_conv_width=9, vocab=11, ctc_weight=0.3,
+                               **kw)
+        model = build_speech2text(args)
+        v = model.init(RNG, xs, xlens, ys, ylens)
+        loss, obs = model.apply(v, xs, xlens, ys, ylens, deterministic=False,
+                                rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.isfinite(float(loss)), kw
+        g = jax.grad(lambda p: model.apply(
+            p, xs, xlens, ys, ylens, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)})[0])(v)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(g)), kw
