@@ -77,6 +77,8 @@ def main(argv=None):
         eos_threshold=args.recog_eos_threshold,
         ctc_weight=args.recog_ctc_weight,
         lm_weight=args.recog_lm_weight,
+        state_carry_over=bool(getattr(args, "recog_state_carry_over",
+                                      False)),
         ilm_weight=args.recog_ilm_weight,
         softmax_smoothing=args.recog_softmax_smoothing)
     lm_session = build_lm_session(getattr(args, "recog_lm", ""),

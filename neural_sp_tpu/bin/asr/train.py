@@ -232,6 +232,18 @@ def main(argv=None):
             dev_loss += float(loss)
             n_batches += 1
         dev_loss /= max(n_batches, 1)
+        # fine-tune switch to SGD (reference lr_scheduler.py:256-264)
+        sgd_epoch = getattr(args, "convert_to_sgd_epoch", 0)
+        if sgd_epoch and epoch == sgd_epoch:
+            kw = controller.convert_to_sgd(getattr(args, "sgd_lr", 1e-4))
+            tx = build_optimizer(kw["optimizer"], lr=kw["lr"],
+                                 clip_grad_norm=args.clip_grad_norm)
+            opt_state = tx.init(params)
+            _phase_steps.clear()
+            step_fn = make_train_step(model, tx, mesh)
+            _phase_steps[()] = step_fn
+            logger.info("converted to SGD (lr %.2g) at epoch %d",
+                        kw["lr"], epoch)
         actions = controller.step_epoch(dev_loss)
         row = reporter.epoch_summary(epoch, {"dev_loss_mean": dev_loss,
                                              "lr": actions["lr"]})

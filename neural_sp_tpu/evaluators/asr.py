@@ -19,7 +19,12 @@ def _decode_batches(session, loader, progress=False):
     t_start = time.time()
     n_frames = 0
     for batch in loader:
-        hyps = session.decode(batch["xs"], batch["xlens"])
+        if getattr(session.conf, "state_carry_over", False):
+            hyps = session.decode(
+                {"xs": batch["xs"], "xlens": batch["xlens"],
+                 "speakers": batch["speakers"]}, None)
+        else:
+            hyps = session.decode(batch["xs"], batch["xlens"])
         n_frames += int(np.sum(batch["xlens"]))
         for i in range(len(batch["utt_ids"])):
             yield batch["utt_ids"][i], batch["speakers"][i], \

@@ -103,6 +103,14 @@ class EpochController:
                       and self.n_early_stop >= self.early_stop_patient_n_epochs)
         return {"lr": self.lr, "early_stop": early_stop, "is_best": is_best}
 
+    def convert_to_sgd(self, lr: float) -> dict:
+        """Fine-tune switch: drop to plain SGD at a fixed lr (reference
+        :256-264). Returns the optax kwargs the trainer should rebuild
+        with; controller decay is disabled from here on."""
+        self.lr = lr
+        self.decay_type = "no"
+        return {"optimizer": "sgd", "lr": lr}
+
     def topk_epochs(self, k: int) -> list[int]:
         return [e for _, e in self.topk[:k]]
 
