@@ -121,3 +121,20 @@ def test_ctc_pallas_kernel_interpret():
                           interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_ctc_pallas_fused_kernel_interpret():
+    """Fused-emit Pallas kernel == scan implementation (interpret mode)."""
+    from neural_sp_tpu.ops.ctc_pallas import ctc_loss_pallas_fused
+    import jax
+    rng = np.random.default_rng(5)
+    bs, tmax, umax, vocab = 3, 24, 6, 9
+    logits, xlens, labels, ylens = _rand_case(rng, bs, tmax, umax, vocab)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    ref = ctc_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(xlens),
+                   jnp.asarray(ylens), reduction="none")
+    pal = ctc_loss_pallas_fused(jnp.asarray(lp), jnp.asarray(labels),
+                                jnp.asarray(xlens), jnp.asarray(ylens),
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-5,
+                               atol=1e-5)
