@@ -3,6 +3,7 @@ projections, residual connections, GLU head, tied embeddings; explicit
 recurrent state I/O for BPTT streams and fusion/rescoring."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -20,6 +21,8 @@ class RNNLM(nn.Module):
     emb_dim: int = 1024
     residual: bool = False
     use_glu: bool = False
+    adaptive_softmax: bool = False
+    adaptive_softmax_cutoffs: tuple = (2000, 10000)
     tie_embedding: bool = False
     dropout: float = 0.0
     dropout_emb: float = 0.0
@@ -34,7 +37,11 @@ class RNNLM(nn.Module):
                           for _ in range(self.n_layers)]
         if self.use_glu:
             self.glu = LinearGLUBlock(self._odim())
-        if not self.tie_embedding:
+        if self.adaptive_softmax:
+            self.asm = AdaptiveSoftmax(
+                vocab=self.vocab, d_in=self._odim(),
+                cutoffs=self.adaptive_softmax_cutoffs)
+        elif not self.tie_embedding:
             self.output = nn.Dense(self.vocab)
         self.drop = nn.Dropout(self.dropout)
         self.drop_emb = nn.Dropout(self.dropout_emb)
@@ -61,6 +68,8 @@ class RNNLM(nn.Module):
         return h, new_state
 
     def logits_from_hidden(self, h):
+        if self.adaptive_softmax:
+            return self.asm.log_probs(h)  # already log-probs
         if self.tie_embedding:
             assert self.emb_dim == self._odim(), \
                 "tie_embedding requires emb_dim == output dim"
@@ -70,6 +79,12 @@ class RNNLM(nn.Module):
     def __call__(self, ys_in, ys_out, state=None, deterministic: bool = True):
         """BPTT window loss. ys_in/ys_out: [B, T]."""
         h, new_state = self.decode(ys_in, state, deterministic)
+        if self.adaptive_softmax:
+            loss = self.asm.loss(h, ys_out, ignore_index=PAD)
+            lp = self.asm.log_probs(h)
+            acc = compute_accuracy(lp, ys_out, PAD)
+            obs = {"loss": loss, "ppl": jnp.exp(loss), "acc": acc}
+            return loss, new_state, obs
         logits = self.logits_from_hidden(h)
         loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
                                       ignore_index=PAD,
@@ -82,5 +97,55 @@ class RNNLM(nn.Module):
         """One-step for fusion/rescoring: y [B] -> (log_probs [B, V], state,
         hidden [B, D])."""
         h, new_state = self.decode(y[:, None], state, True)
+        if self.adaptive_softmax:
+            return (self.asm.log_probs(h[:, 0]), new_state, h[:, 0])
         logits = self.logits_from_hidden(h[:, 0])
         return nn.log_softmax(logits.astype(jnp.float32)), new_state, h[:, 0]
+
+
+class AdaptiveSoftmax(nn.Module):
+    """Cluster-factorised softmax (reference rnnlm adaptive_softmax option).
+
+    Head = [frequent tokens | one slot per tail cluster]; each tail projects
+    through a shrinking bottleneck (d / 4^i). On TPU the win is the
+    parameter/memory reduction for large vocabs — cluster log-probs are
+    computed for all positions with masking (static shapes) rather than
+    index_select.
+    """
+    vocab: int
+    d_in: int
+    cutoffs: tuple = (2000, 10000)
+    div_value: int = 4
+
+    def setup(self):
+        cuts = [c for c in self.cutoffs if c < self.vocab]
+        self._cuts = tuple(cuts) + (self.vocab,)
+        n_tails = len(self._cuts) - 1
+        self.head = nn.Dense(self._cuts[0] + n_tails)
+        tails = []
+        for i in range(n_tails):
+            d_tail = max(self.d_in // (self.div_value ** (i + 1)), 8)
+            tails.append([nn.Dense(d_tail),
+                          nn.Dense(self._cuts[i + 1] - self._cuts[i])])
+        self.tails = tails
+
+    def log_probs(self, h):
+        """h: [..., d_in] -> full-vocab log-probs [..., vocab]."""
+        head_lp = jax.nn.log_softmax(
+            self.head(h).astype(jnp.float32), -1)
+        parts = [head_lp[..., : self._cuts[0]]]
+        for i, (proj, out) in enumerate(self.tails):
+            tail_lp = jax.nn.log_softmax(
+                out(proj(h)).astype(jnp.float32), -1)
+            parts.append(head_lp[..., self._cuts[0] + i: self._cuts[0] + i + 1]
+                         + tail_lp)
+        return jnp.concatenate(parts, axis=-1)
+
+    def loss(self, h, ys, ignore_index: int = 3):
+        """Mean NLL over valid tokens (normalize_length convention)."""
+        lp = self.log_probs(h)
+        mask = ys != ignore_index
+        tok = jnp.take_along_axis(
+            lp, jnp.maximum(ys, 0)[..., None], axis=-1)[..., 0]
+        n = jnp.maximum(jnp.sum(mask), 1)
+        return -jnp.sum(jnp.where(mask, tok, 0.0)) / n

@@ -200,3 +200,28 @@ def test_cold_fusion_training_and_graft():
     g = jax.grad(lambda p: model.apply({"params": p}, xs, xlens, ys, ylens)[0])(p2)
     lm_grads = jax.tree.leaves(g["dec_fwd"]["step"]["lm"])
     assert all(float(jnp.abs(x).max()) == 0.0 for x in lm_grads)
+
+
+def test_adaptive_softmax_lm():
+    lm = RNNLM(vocab=VOCAB, n_units=16, n_layers=1, emb_dim=16,
+               adaptive_softmax=True, adaptive_softmax_cutoffs=(8,))
+    ys_in = jnp.asarray(np.random.default_rng(0).integers(0, VOCAB, (2, 12)),
+                        jnp.int32)
+    ys_out = jnp.roll(ys_in, -1, axis=1)
+    v = lm.init(RNG, ys_in, ys_out)
+    loss, state, obs = lm.apply(v, ys_in, ys_out)
+    assert np.isfinite(float(loss))
+    # log-probs normalise over the full vocab
+    sess = LMSession(lm, v["params"])
+    lp, _ = sess.predict(np.asarray([5], np.int32), sess.initial_state(1))
+    np.testing.assert_allclose(np.exp(lp[0]).sum(), 1.0, rtol=1e-4)
+    assert lp.shape == (1, VOCAB)
+    # the parameter saving appears at realistic vocab sizes
+    big = RNNLM(vocab=2000, n_units=16, n_layers=1, emb_dim=16,
+                adaptive_softmax=True, adaptive_softmax_cutoffs=(100,))
+    vb = big.init(RNG, ys_in % 2000, ys_out % 2000)
+    n_asm = sum(x.size for x in jax.tree.leaves(vb["params"]["asm"]))
+    assert n_asm < 2000 * 16 + 2000  # smaller than the full Dense head
+    g = jax.grad(lambda p: lm.apply({"params": p}, ys_in, ys_out)[0])(
+        v["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
