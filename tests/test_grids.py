@@ -1,0 +1,133 @@
+"""Extra parametrized grids (reference test strategy, SURVEY.md §4):
+config sweeps over variants not covered by the focused tests."""
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from neural_sp_tpu.models.speech2text import build_speech2text
+from neural_sp_tpu.models.encoders.transformer import XformerEncoder
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _data(b=2, t=32, d=16, vocab=13, u=4, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    xlens = jnp.asarray([t, t - 7][:b], jnp.int32)
+    ys = jnp.asarray(rng.integers(4, vocab, (b, u)), jnp.int32)
+    ylens = jnp.asarray([u, u - 1][:b], jnp.int32)
+    return xs, xlens, ys, ylens
+
+
+@pytest.mark.parametrize("kw", [
+    dict(dec_type="gru", dec_n_layers=2),                 # GRU decoder stack
+    dict(dec_type="lstm", dec_n_layers=2, dec_n_projs=8),  # projections
+    dict(attn_type="add"),
+    dict(attn_type="gmm"),
+    dict(enc_type="gru"),
+    dict(enc_type="bgru", ss_prob=0.3),
+])
+def test_model_variant_grid(kw):
+    base = dict(enc_type="blstm", input_dim=16, enc_n_units=12,
+                enc_n_layers=1, dec_type="lstm", dec_n_units=12,
+                dec_n_layers=1, emb_dim=8, dec_bottleneck_dim=12,
+                attn_dim=12, attn_conv_width=9, vocab=13, ctc_weight=0.3,
+                lsm_prob=0.1)
+    base.update(kw)
+    model = build_speech2text(SimpleNamespace(**base))
+    xs, xlens, ys, ylens = _data()
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    loss, obs = model.apply(v, xs, xlens, ys, ylens, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss)), kw
+
+
+@pytest.mark.parametrize("btype,pe,n_r", [
+    ("conformer_v2", "add", 0),
+    ("conformer", "relative", 4),
+    ("transformer", "relative", 4),
+])
+def test_streaming_chunkwise_grid(btype, pe, n_r):
+    """Streaming-step chain runs and matches full mask-mode shape for every
+    block/PE combination (exactness for n_r=0 is covered elsewhere)."""
+    from neural_sp_tpu.frontends.streaming import StreamingDriver
+    enc = XformerEncoder(input_dim=12, btype=btype, d_model=16, d_ff=32,
+                         n_heads=2, n_layers=2, pe_type=pe,
+                         conv_kernel_size=3, chunk_size_left=8,
+                         chunk_size_current=4, chunk_size_right=n_r,
+                         streaming_type="mask")
+    t = 24
+    xs = jnp.asarray(np.random.default_rng(0).standard_normal((1, t, 12)),
+                     jnp.float32)
+    v = enc.init(RNG, xs, jnp.asarray([t]))
+    full = enc.apply(v, xs, jnp.asarray([t]))["ys"]["xs"]
+    cache = enc.init_stream_cache(1)
+    total_in, hop_in = enc.block_input_frames()
+    _, cnn_ctx, _, _, _ = enc.stream_geometry()
+    outs = []
+    for block, n_new, _ in StreamingDriver(np.asarray(xs[0]), total_in,
+                                           hop_in, cnn_ctx):
+        o, cache = enc.apply(v, jnp.asarray(block)[None], cache,
+                             method=enc.streaming_step)
+        outs.append(np.asarray(o)[:, :n_new])
+    stream = np.concatenate(outs, axis=1)
+    assert stream.shape == np.asarray(full).shape
+    assert np.isfinite(stream).all()
+    if n_r == 0 and not btype.startswith("conformer"):
+        np.testing.assert_allclose(np.asarray(full), stream, rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_bf16_inputs_through_model():
+    """bf16 feature inputs must not NaN the loss path."""
+    base = dict(enc_type="blstm", input_dim=16, enc_n_units=12,
+                enc_n_layers=1, dec_type="lstm", dec_n_units=12,
+                dec_n_layers=1, emb_dim=8, dec_bottleneck_dim=12,
+                attn_dim=12, attn_conv_width=9, vocab=13, ctc_weight=0.3)
+    model = build_speech2text(SimpleNamespace(**base))
+    xs, xlens, ys, ylens = _data()
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    loss, _ = model.apply(v, xs.astype(jnp.bfloat16).astype(jnp.float32),
+                          xlens, ys, ylens)
+    assert np.isfinite(float(loss))
+
+
+def test_lm_dataset_serialized_and_vocab():
+    import pandas as pd
+    from neural_sp_tpu.datasets.lm import LMDataset
+    df = pd.DataFrame([
+        {"utt_id": f"s{j}_{i:02d}", "text": "a b a", "token_id": "4 5 4",
+         "ylen": 3} for j in range(2) for i in range(6)])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    tsv = os.path.join(d, "lm.tsv")
+    df.to_csv(tsv, sep="\t", index=False)
+    dict_path = os.path.join(d, "dict.txt")
+    open(dict_path, "w").write("a 4\nb 5\n")
+    ds = LMDataset(tsv, dict_path, unit="word", batch_size=2, bptt=4,
+                   serialize=True)
+    assert ds.vocab == 6
+    xi, xo = next(iter(ds))
+    assert xi.shape == (2, 4)
+
+
+def test_epoch_controller_early_stop_and_topk():
+    from neural_sp_tpu.trainers.lr_scheduler import EpochController
+    c = EpochController(base_lr=1.0, decay_type="metric", decay_rate=0.5,
+                        decay_patient_n_epochs=0,
+                        early_stop_patient_n_epochs=2)
+    a1 = c.step_epoch(10.0)
+    assert a1["is_best"] and a1["lr"] == 1.0
+    a2 = c.step_epoch(11.0)   # worse -> decay
+    assert a2["lr"] == 0.5 and not a2["early_stop"]
+    a3 = c.step_epoch(12.0)   # worse again -> early stop
+    assert a3["early_stop"]
+    assert c.topk_epochs(2) == [1, 2]
+    # state roundtrip
+    st = c.state_dict()
+    c2 = EpochController(base_lr=1.0)
+    c2.load_state_dict(st)
+    assert c2.best_value == 10.0 and c2.epoch == 3
