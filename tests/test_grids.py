@@ -131,3 +131,46 @@ def test_epoch_controller_early_stop_and_topk():
     c2 = EpochController(base_lr=1.0)
     c2.load_state_dict(st)
     assert c2.best_value == 10.0 and c2.epoch == 3
+
+
+def test_mesh_data_parallel_step_matches_single_device():
+    """The 8-device mesh step must produce the same loss trajectory as the
+    single-device step (DP is arithmetic-invariant)."""
+    import optax
+    from neural_sp_tpu.parallel.mesh import (
+        make_mesh, make_train_step, shard_batch, replicated)
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+    base = dict(enc_type="blstm", input_dim=16, enc_n_units=12,
+                enc_n_layers=1, dec_type="lstm", dec_n_units=12,
+                dec_n_layers=1, emb_dim=8, dec_bottleneck_dim=12,
+                attn_dim=12, attn_conv_width=9, vocab=13, ctc_weight=1.0,
+                dropout_enc=0.0, dropout_dec=0.0)
+    model = build_speech2text(SimpleNamespace(**base))
+    rng = np.random.default_rng(0)
+    bs = 8
+    xs = jnp.asarray(rng.standard_normal((bs, 32, 16)), jnp.float32)
+    xlens = jnp.full((bs,), 32, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, 13, (bs, 4)), jnp.int32)
+    ylens = jnp.full((bs,), 4, jnp.int32)
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    tx = build_optimizer("adam", lr=1e-3)
+
+    # single device
+    step1 = make_train_step(model, tx, None, donate=False)
+    p1, o1, m1 = step1(v["params"], tx.init(v["params"]),
+                       jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+
+    # 8-device mesh
+    mesh = make_mesh(n_data=8)
+    p_r = jax.device_put(v["params"], replicated(mesh))
+    o_r = jax.device_put(tx.init(v["params"]), replicated(mesh))
+    step8 = make_train_step(model, tx, mesh, donate=False)
+    b = shard_batch({"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens},
+                    mesh)
+    p8, o8, m8 = step8(p_r, o_r, jax.random.PRNGKey(0),
+                       b["xs"], b["xlens"], b["ys"], b["ylens"])
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    # updated params agree across the sharded/unsharded paths
+    d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()), p1, p8)
+    assert max(jax.tree.leaves(d)) < 1e-4
