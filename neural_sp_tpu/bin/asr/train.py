@@ -177,8 +177,14 @@ def main(argv=None):
                 _phase_steps[over] = step_fn
         return _phase_steps[over]
 
+    # Epoch-level lr decay reaches the jitted step as a runtime multiplier
+    # relative to the lr baked into the optimizer at build time (reference
+    # mutates optimizer.param_groups lr in-place, lr_scheduler.py:131-225).
+    lr_ref = args.lr
+
     for epoch in range(start_epoch, args.n_epochs + 1):
         epoch_step_fn = step_for_epoch(epoch)
+        lr_scale = controller.lr / lr_ref if lr_ref else 1.0
         train_set.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(train_set):
@@ -199,12 +205,14 @@ def main(argv=None):
                 params, opt_state, rsp_carry, metrics = epoch_step_fn(
                     params, opt_state, key, rsp_carry,
                     jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
-                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]),
+                    lr_scale)
             else:
                 params, opt_state, metrics = epoch_step_fn(
                     params, opt_state, key,
                     jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
-                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]),
+                    lr_scale)
             if getattr(reporter, "_tracing", False) and \
                     reporter.step + 1 >= reporter._trace_end:
                 jax.block_until_ready(metrics["loss"])
@@ -239,6 +247,7 @@ def main(argv=None):
             tx = build_optimizer(kw["optimizer"], lr=kw["lr"],
                                  clip_grad_norm=args.clip_grad_norm)
             opt_state = tx.init(params)
+            lr_ref = kw["lr"]
             _phase_steps.clear()
             step_fn = make_train_step(model, tx, mesh)
             _phase_steps[()] = step_fn

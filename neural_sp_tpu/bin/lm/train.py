@@ -81,7 +81,7 @@ def main(argv=None):
     save_config(vars(args), os.path.join(save_dir, "conf.yml"))
 
     @jax.jit
-    def step(params, opt_state, state, xi, xo, key):
+    def step(params, opt_state, state, xi, xo, key, lr_scale):
         def loss_fn(p):
             loss, new_state, obs = lm.apply(
                 {"params": p}, xi, xo, state, False,
@@ -90,6 +90,9 @@ def main(argv=None):
         (loss, (new_state, obs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        # epoch-level lr decay applied as a runtime multiplier (the
+        # controller can't rebuild the jitted optimizer mid-run)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, obs
 
@@ -101,11 +104,12 @@ def main(argv=None):
     for epoch in range(start_epoch, args.n_epochs + 1):
         state = None
         t0 = time.time()
+        lr_scale = jnp.float32(controller.lr / args.lr if args.lr else 1.0)
         for xi, xo in train_set:
             rng, key = jax.random.split(rng)
             params, opt_state, state, obs = step(
                 params, opt_state, state, jnp.asarray(xi), jnp.asarray(xo),
-                key)
+                key, lr_scale)
             reporter.add_observation(obs)
             reporter.step_forward()
             if reporter.step % args.print_step == 0:

@@ -316,14 +316,16 @@ class Speech2TextSession:
 
             total = scores[:, None] + logp_eff + conf.lm_weight * lm_logp
             # eos handling: eos allowed only if logp(eos) good enough
-            # (eos_threshold, reference las.py:1306) and length >= min_len
+            # (eos_threshold, reference las.py:1306) and length >= min_len;
+            # the reference applies the threshold AFTER adding CTC scores
+            # (las.py:1296-1313), so the same mask is re-applied to total_ctc
             if step_i < min_len:
-                total[:, EOS] = -1e30
+                bad_eos = np.ones(beam, bool)
             else:
                 best_non_eos = np.max(
                     np.delete(logp, EOS, axis=1), axis=1)
                 bad_eos = logp[:, EOS] < conf.eos_threshold * best_non_eos
-                total[bad_eos, EOS] = -1e30
+            total[bad_eos, EOS] = -1e30
 
             # joint CTC prefix scoring on top candidates
             new_ctc_states = None
@@ -346,6 +348,7 @@ class Speech2TextSession:
                         + conf.lm_weight * lm_logp[k, cands])
                     for ci, c in enumerate(cands):
                         new_ctc_states[k][c] = (r_new[ci], psi[ci])
+                total_ctc[bad_eos, EOS] = -1e30
                 total = total_ctc
 
             flat = total.reshape(-1)
@@ -364,6 +367,11 @@ class Speech2TextSession:
                 if v == EOS:
                     cand = {"hyp": hyps[k] + [EOS], "score": sc,
                             "score_lm": float(scores_lm[k])}
+                    if conf.state_carry_over:
+                        # decoder LSTM state at this hyp's end (reference
+                        # carries the BEST hyp's dstates, las.py:1155-1165)
+                        cand["cells"] = jax.tree.map(
+                            lambda x: x[k:k + 1], carry[0])
                     L = len(cand["hyp"])
                     if conf.length_norm:
                         cand["score"] = sc / max(L, 1)
@@ -426,9 +434,13 @@ class Speech2TextSession:
         if conf.state_carry_over and spk is not None:
             if not hasattr(self, "_spk_states"):
                 self._spk_states = {}
-            # final LSTM states of the current top beam entry
-            self._spk_states[spk] = tuple(
-                tuple(x[0:1] for x in layer) for layer in carry[0])
+            # LSTM state of the WINNING hypothesis (recorded when it
+            # finished); fall back to the top surviving beam row
+            win_cells = finished[0].get("cells")
+            if win_cells is None:
+                win_cells = tuple(
+                    tuple(x[0:1] for x in layer) for layer in carry[0])
+            self._spk_states[spk] = win_cells
         nbest = [[t for t in f["hyp"] if t != EOS]
                  for f in finished[: self.conf.n_best]]
         return nbest[0], nbest
@@ -477,11 +489,11 @@ class Speech2TextSession:
 
             total = scores[:, None] + logp + conf.lm_weight * lm_logp
             if step_i < min_len:
-                total[:, EOS] = -1e30
+                bad = np.ones(beam, bool)
             else:
                 best_non_eos = np.max(np.delete(logp, EOS, axis=1), axis=1)
                 bad = logp[:, EOS] < conf.eos_threshold * best_non_eos
-                total[bad, EOS] = -1e30
+            total[bad, EOS] = -1e30
 
             new_ctc_states = None
             if ctc_scorer is not None:
@@ -500,6 +512,7 @@ class Speech2TextSession:
                                       + conf.lm_weight * lm_logp[k, cands])
                     for ci, c in enumerate(cands):
                         new_ctc_states[k][c] = (r_new[ci], psi[ci])
+                tot2[bad, EOS] = -1e30
                 total = tot2
 
             flat = total.reshape(-1)
@@ -575,6 +588,8 @@ class Speech2TextSession:
                 return self.decode_ctc_beam(xs, xlens)
             return self.decode_ctc_greedy(xs, xlens)
         if isinstance(self.dec, RNNTransducer):
+            if self.conf.beam_width > 1:
+                return self.decode_transducer_beam(xs, xlens)
             return self.decode_transducer_greedy(xs, xlens)
         if self.conf.beam_width <= 1 and isinstance(self.dec, RNNDecoder):
             return self.decode_attention_greedy(xs, xlens)

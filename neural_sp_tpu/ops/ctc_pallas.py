@@ -178,7 +178,10 @@ def ctc_loss_pallas_fused(log_probs, labels, logit_lengths, label_lengths,
     log_probs = log_probs.astype(jnp.float32)
     bs, tmax, v = log_probs.shape
     b_pad = max(((bs + 7) // 8) * 8, 8)
-    v_pad = max(((v + 127) // 128) * 128, 128)
+    # pad from v+1 so slot v_pad-1 is ALWAYS a dedicated padding slot (it is
+    # poisoned below; padding from v would clobber the last real class when
+    # v % 128 == 0)
+    v_pad = max(((v + 128) // 128) * 128, 128)
     z = _extend_labels(labels.astype(jnp.int32), blank)
     s = z.shape[1]
     s_pad = max(((s + 127) // 128) * 128, 128)

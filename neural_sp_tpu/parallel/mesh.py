@@ -53,16 +53,20 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
                     donate: bool = True, weight_noise_std: float = 0.0):
     """Build the jitted (sharded) training step.
 
-    step(params, opt_state, rng, xs, xlens, ys, ylens)
+    step(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale=1.0)
       -> (params, opt_state, metrics dict)
     With a mesh: data-sharded inputs, replicated params; XLA inserts the
     gradient all-reduce. Without: plain single-device jit.
     ``weight_noise_std``: Gaussian weight noise on params in the loss only
     (reference add_weight_noise, models/base.py:77-91).
+    ``lr_scale``: runtime multiplier on the optimizer updates — this is how
+    the EpochController's decayed lr reaches the jitted step without
+    rebuilding the optimizer (reference mutates optimizer.param_groups lr,
+    lr_scheduler.py:131-225).
     """
     import optax
 
-    def step(params, opt_state, rng, xs, xlens, ys, ylens):
+    def step(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale):
         def loss_fn(p):
             if weight_noise_std > 0:
                 nkey = jax.random.fold_in(rng, 2)
@@ -81,6 +85,7 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         (loss, scalars), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
         metrics = dict(scalars)
@@ -88,16 +93,22 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         return params, opt_state, metrics
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+        jitted = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    else:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, data, data, data, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1) if donate else (),
+        )
 
-    repl = replicated(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl, data, data, data, data),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1) if donate else (),
-    )
+    def call(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale=1.0):
+        return jitted(params, opt_state, rng, xs, xlens, ys, ylens,
+                      jnp.asarray(lr_scale, jnp.float32))
+
+    return call
 
 
 def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None):
@@ -105,12 +116,12 @@ def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None):
     the previous batch is re-used with probability ``rsp_prob`` (reference
     rnn.py:323-327), else reset to zeros.
 
-    step(params, opt_state, rng, carry, xs, xlens, ys, ylens)
+    step(params, opt_state, rng, carry, xs, xlens, ys, ylens, lr_scale=1.0)
       -> (params, opt_state, new_carry, metrics)
     """
     import optax
 
-    def step(params, opt_state, rng, carry, xs, xlens, ys, ylens):
+    def step(params, opt_state, rng, carry, xs, xlens, ys, ylens, lr_scale):
         use = jax.random.bernoulli(jax.random.fold_in(rng, 3), rsp_prob)
         carry_in = jax.tree.map(
             lambda c: jnp.where(use, c, jnp.zeros_like(c)), carry)
@@ -128,18 +139,27 @@ def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None):
             loss_fn, has_aux=True)(params)
         new_carry = jax.tree.map(jax.lax.stop_gradient, new_carry)
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         metrics = dict(scalars)
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, new_carry, metrics
 
     if mesh is None:
-        return jax.jit(step)
+        jitted = jax.jit(step)
+    else:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, data, data, data, data, data,
+                          repl),
+            out_shardings=(repl, repl, data, repl),
+        )
 
-    repl = replicated(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl, data, data, data, data, data),
-        out_shardings=(repl, repl, data, repl),
-    )
+    def call(params, opt_state, rng, carry, xs, xlens, ys, ylens,
+             lr_scale=1.0):
+        return jitted(params, opt_state, rng, carry, xs, xlens, ys, ylens,
+                      jnp.asarray(lr_scale, jnp.float32))
+
+    return call

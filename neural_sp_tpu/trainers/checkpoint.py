@@ -50,14 +50,47 @@ def load_checkpoint(path: str) -> dict:
     return ckptr.restore(os.path.abspath(path))
 
 
-def restore_like(template, restored):
+def restore_like(template, restored, _path=""):
     """Rebuild ``restored`` (orbax turns tuples into lists / namedtuples into
-    dicts) with the exact pytree structure of ``template``."""
-    t_leaves, treedef = jax.tree.flatten(template)
-    r_leaves = jax.tree.leaves(restored)
-    assert len(t_leaves) == len(r_leaves), \
-        f"checkpoint has {len(r_leaves)} leaves, expected {len(t_leaves)}"
-    return jax.tree.unflatten(treedef, r_leaves)
+    dicts) with the exact pytree structure of ``template``.
+
+    Structure-aware: namedtuple fields are matched to the restored dict's
+    keys BY NAME (orbax flattens dicts in sorted-key order, which silently
+    permutes leaves of any namedtuple whose fields are not alphabetical —
+    e.g. optax.MultiStepsState), and every leaf is shape-checked against
+    the template."""
+    # leafless subtrees (e.g. optax.EmptyState) come back from orbax as None
+    if restored is None and not jax.tree.leaves(template):
+        return template
+    # namedtuple template restored as a dict: match fields by name
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        if isinstance(restored, dict):
+            return type(template)(*[
+                restore_like(getattr(template, f), restored[f],
+                             f"{_path}.{f}")
+                for f in template._fields])
+        restored = tuple(restored)
+        return type(template)(*[
+            restore_like(t, r, f"{_path}.{f}") for t, r, f in
+            zip(template, restored, template._fields)])
+    if isinstance(template, dict):
+        assert isinstance(restored, dict), f"{_path}: expected dict"
+        return {k: restore_like(v, restored[k], f"{_path}.{k}")
+                for k, v in template.items()}
+    if isinstance(template, (tuple, list)):
+        assert len(template) == len(restored), \
+            f"{_path}: {len(restored)} entries, expected {len(template)}"
+        out = [restore_like(t, r, f"{_path}[{i}]")
+               for i, (t, r) in enumerate(zip(template, restored))]
+        return type(template)(out) if isinstance(template, tuple) else out
+    if template is None:
+        return None
+    # leaf: validate shape (dtype may legitimately differ, e.g. f64 avg)
+    t_shape = np.shape(template)
+    r_shape = np.shape(restored)
+    assert t_shape == r_shape, \
+        f"{_path}: restored shape {r_shape} != template {t_shape}"
+    return restored
 
 
 def latest_epoch(save_dir: str) -> int | None:

@@ -174,3 +174,39 @@ def test_mesh_data_parallel_step_matches_single_device():
     # updated params agree across the sharded/unsharded paths
     d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()), p1, p8)
     assert max(jax.tree.leaves(d)) < 1e-4
+
+
+def test_train_step_lr_scale_applies():
+    """Epoch-level lr decay reaches the jitted step via the lr_scale arg
+    (regression: controller decay used to be a silent no-op)."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.parallel.mesh import make_train_step
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+
+    args = SimpleNamespace(
+        enc_type="blstm", input_dim=8, enc_n_units=12, enc_n_layers=1,
+        dec_type="lstm", dec_n_units=12, dec_n_layers=1, emb_dim=8,
+        dec_bottleneck_dim=12, attn_dim=12, attn_conv_width=9, vocab=11,
+        ctc_weight=0.0, lsm_prob=0.0, dropout_enc=0.0, dropout_dec=0.0)
+    model = build_speech2text(args)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+    xlens = jnp.full((2,), 16, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, 11, (2, 5)), jnp.int32)
+    ylens = jnp.full((2,), 5, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)["params"]
+    tx = build_optimizer("sgd", lr=0.1, clip_grad_norm=0.0)
+    step = make_train_step(model, tx, None, donate=False)
+    key = jax.random.PRNGKey(1)
+
+    p_full, _, _ = step(params, tx.init(params), key, xs, xlens, ys, ylens,
+                        1.0)
+    p_half, _, _ = step(params, tx.init(params), key, xs, xlens, ys, ylens,
+                        0.5)
+    d_full = jax.tree.map(lambda a, b: np.asarray(a - b), p_full, params)
+    d_half = jax.tree.map(lambda a, b: np.asarray(a - b), p_half, params)
+    for df, dh in zip(jax.tree.leaves(d_full), jax.tree.leaves(d_half)):
+        np.testing.assert_allclose(dh, 0.5 * df, rtol=1e-5, atol=1e-7)
