@@ -1,11 +1,17 @@
-"""Benchmark: flagship Conformer-LAS training-step throughput on one chip.
+"""Benchmark: TRUE flagship Conformer-LAS training step on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no GPU throughput (SURVEY.md §6); BASELINE.json's
-north star is >=10x an estimated reference GPU rate. We use a fixed
-reference estimate of 40 utts/sec/GPU for the flagship config (typical V100
-number for batch-24000-frame Conformer-LAS training) so vs_baseline is
-stable across rounds; value is utterances/sec/chip.
+Model = examples/librispeech/conf/asr/conformer_kernel15_clamp10_hie_
+subsample8_las_ln_large.yaml (the reference's headline Librispeech config,
+conf/asr/transformer/conformer_kernel15_clamp10_hie_subsample8_las_long_
+ln_large.yaml): 12L conformer d512/8H/d_ff2048 kernel15 rel-PE clamp10,
+subsample x8, LAS LSTM-1024 location-attention decoder, wp vocab 10k,
+CTC 0.3, batch 24,000 input frames — trained in bf16 compute / f32 masters.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+The reference publishes no GPU throughput (SURVEY.md §6); vs_baseline uses a
+fixed estimate of 40 utts/sec/GPU (typical V100 rate for this config at
+batch 24k frames) so the ratio is stable across rounds. Extras report
+step_ms and MFU (compiler-counted HLO FLOPs / step time / chip peak).
 """
 import json
 import sys
@@ -20,19 +26,54 @@ import jax.numpy as jnp
 
 REFERENCE_UTTS_PER_SEC = 40.0
 
+# bf16 peak FLOP/s by TPU generation (public spec sheets)
+PEAK_FLOPS = {
+    "v4": 275e12, "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _chip_peak() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12  # default: v5e
+
+
+def flagship_args():
+    """The shipped large config, verbatim dims (bin/args.py flag names)."""
+    from types import SimpleNamespace
+    return SimpleNamespace(
+        enc_type="conv_conformer", input_dim=80,
+        conv_channels="32_32", conv_kernel_sizes="(3,3)_(3,3)",
+        conv_poolings="(2,2)_(2,2)",
+        enc_n_layers=12, transformer_d_model=512, transformer_d_ff=2048,
+        transformer_n_heads=8, transformer_enc_pe_type="relative",
+        transformer_enc_clamp_len=10, conformer_kernel_size=15,
+        subsample="1_1_1_2_1_1_1_1_1_1_1_1", subsample_type="drop",
+        dropout_enc=0.1, dropout_att=0.1,
+        dec_type="lstm", dec_n_units=1024, dec_n_layers=1, emb_dim=512,
+        dec_bottleneck_dim=1024, attn_type="location", attn_dim=512,
+        attn_conv_width=201, dropout_dec=0.2, dropout_emb=0.2,
+        vocab=10000, ctc_weight=0.3, lsm_prob=0.1,
+        freq_width=27, n_freq_masks=2, time_width=100, n_time_masks=2,
+        time_width_upper=1.0,
+    )
+
 
 def main():
-    from __graft_entry__ import _flagship_args
     from neural_sp_tpu.models.speech2text import build_speech2text
     from neural_sp_tpu.parallel.mesh import make_train_step
     from neural_sp_tpu.trainers.optimizer import build_optimizer
     from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
 
-    args = _flagship_args(scale=1.0)
-    args.enc_n_layers = 12            # full flagship depth
+    args = flagship_args()
     model = build_speech2text(args)
 
-    bs, t, u = 16, 1024, 48           # ~10s utterances, frame-bin style batch
+    # 24,000-frame batch (reference batch_size: 24000, type: frame):
+    # 16 utterances x 1500 frames (~15 s each), ~100 wp tokens/utt
+    bs, t, u = 16, 1500, 100
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
     xlens = jnp.full((bs,), t, jnp.int32)
@@ -45,16 +86,32 @@ def main():
                                                 25000, factor=5.0),
                          clip_grad_norm=5.0)
     params = variables["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
     opt_state = tx.init(params)
-    step = make_train_step(model, tx, mesh=None, donate=True)
+    step = make_train_step(model, tx, mesh=None, donate=True,
+                           compute_dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
+    # lower for cost analysis BEFORE the loop (donation deletes the inputs)
+    abs_of = lambda tr: jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tr)
+    lowered = step._lower(
+        abs_of(params), abs_of(opt_state), abs_of(key), abs_of(xs),
+        abs_of(xlens), abs_of(ys), abs_of(ylens),
+        jax.ShapeDtypeStruct((), jnp.float32))
+    def force(tree):
+        """Force REAL completion: through the remote-dispatch tunnel,
+        block_until_ready returns before execution finishes — only a
+        device->host transfer truly synchronises."""
+        leaf = jax.tree.leaves(tree)[0]
+        return float(jnp.ravel(leaf)[0])
+
     params, opt_state, m = step(params, opt_state, key, xs, xlens, ys, ylens)
-    jax.block_until_ready(m["loss"])  # compile + warm
+    force(params)  # compile + warm (forces the full optimizer chain)
 
     # enough iterations that per-dispatch host/tunnel jitter amortises;
     # best-of-3 windows guards against transient contention
-    n_iters = 40
+    n_iters = 20
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
@@ -62,9 +119,22 @@ def main():
             params, opt_state, m = step(params, opt_state,
                                         jax.random.fold_in(key, i),
                                         xs, xlens, ys, ylens)
-        jax.block_until_ready(m["loss"])
+        force(params)  # sync on the LAST step's updated params
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
     dt = best_dt
+
+    # MFU from compiler-counted HLO FLOPs of the whole train step (fwd+bwd
+    # +optimizer); cost_analysis flops are f32-equivalent op counts
+    mfu = -1.0
+    try:
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", -1.0))
+        if flops > 0:
+            mfu = flops / dt / _chip_peak()
+    except Exception:
+        mfu = -1.0
 
     utts_per_sec = bs / dt
     print(json.dumps({
@@ -72,6 +142,12 @@ def main():
         "value": round(utts_per_sec, 2),
         "unit": "utts/sec/chip",
         "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
+        "step_ms": round(dt * 1e3, 2),
+        "frames_per_step": bs * t,
+        "mfu": round(mfu, 4) if mfu > 0 else None,
+        "n_params_m": round(n_params / 1e6, 1),
+        "device": jax.devices()[0].device_kind,
+        "compute_dtype": "bfloat16",
     }))
 
 

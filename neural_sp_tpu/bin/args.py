@@ -84,6 +84,9 @@ TRAIN_DEFAULTS = dict(
     lr_decay_type="always", lr_decay_rate=0.9, lr_decay_start_epoch=10,
     lr_decay_patient_n_epochs=0, early_stop_patient_n_epochs=-1,
     print_step=100, metric="edit_distance",
+    # mixed precision (reference AMP/apex O-levels, train.py:235-254):
+    # "bfloat16" casts params+activations inside the loss; masters stay f32
+    train_dtype="float32",
     # checkpointing
     n_keep_best_checkpoints=5, seed=1, resume="",
 )

@@ -80,14 +80,47 @@ def main(argv=None):
         state_carry_over=bool(getattr(args, "recog_state_carry_over",
                                       False)),
         ilm_weight=args.recog_ilm_weight,
-        softmax_smoothing=args.recog_softmax_smoothing)
+        softmax_smoothing=args.recog_softmax_smoothing,
+        n_best=max(getattr(args, "recog_n_best", 1),
+                   10 if (getattr(args, "recog_lm_second", "") or
+                          getattr(args, "recog_lm_bwd", "")) else 1),
+        lm_second_weight=getattr(args, "recog_lm_second_weight", 0.3),
+        lm_bwd_weight=getattr(args, "recog_lm_bwd_weight", 0.3),
+        fwd_bwd_attention=bool(getattr(args, "recog_fwd_bwd_attention",
+                                       False)))
     lm_session = build_lm_session(getattr(args, "recog_lm", ""),
                                   args.recog_lm_weight)
-    session = Speech2TextSession(model, params, conf, lm_session)
+
+    # ensemble decoding (reference las.py:1219-1237, eval.py ensemble
+    # loading): each extra model dir becomes a member session whose
+    # per-step log-probs are averaged into the beam
+    ensemble = []
+    ens_dirs = getattr(args, "recog_ensemble", []) or []
+    if isinstance(ens_dirs, str):
+        ens_dirs = [ens_dirs]
+    for d in ens_dirs:
+        from types import SimpleNamespace
+        em, ep, _, _ = load_model_for_eval(SimpleNamespace(
+            recog_model=d, recog_n_average=getattr(args, "recog_n_average",
+                                                   1)))
+        ensemble.append(Speech2TextSession(em, ep, conf))
+    session = Speech2TextSession(model, params, conf, lm_session,
+                                 ensemble=ensemble)
+
+    # second-pass / backward LM rescoring over the n-best (reference
+    # bin/asr/eval.py:64-79 + beam_search.py:115-140)
+    lm_second = build_lm_session(getattr(args, "recog_lm_second", ""),
+                                 conf.lm_second_weight)
+    lm_bwd = build_lm_session(getattr(args, "recog_lm_bwd", ""),
+                              conf.lm_bwd_weight)
+    if lm_second is not None or lm_bwd is not None:
+        session.attach_second_pass_lms(lm_second, lm_bwd)
 
     results = {}
     sets = args.recog_sets if isinstance(args.recog_sets, list) \
         else [args.recog_sets]
+    streaming = bool(getattr(args, "recog_streaming", False) or
+                     getattr(args, "recog_block_sync", False))
     for tsv in sets:
         loader = build_dataloader(
             tsv, dict_path=getattr(args, "recog_dict", None) or targs.dict,
@@ -95,9 +128,27 @@ def main(argv=None):
             batch_size=args.recog_batch_size, bucketing="sort", is_test=True)
         out_dir = os.path.join(getattr(args, "recog_dir", save_dir),
                                os.path.basename(tsv).replace(".tsv", ""))
-        m = eval_unit(session, loader, targs.unit, save_dir=out_dir)
-        logger.info("%s: WER %.2f / CER %.2f (RTF %.4f, %d utts)",
-                    tsv, m["wer"], m["cer"], m["rtf"], m["n_utts"])
+        if streaming:
+            # streaming dispatch (reference evaluators/wordpiece.py:80-84):
+            # block-sync beam for CTC / RNN-T / MoChA + VAD resets
+            from ...evaluators.asr import eval_streaming
+            m = eval_streaming(session, loader, save_dir=out_dir)
+            logger.info(
+                "%s (streaming): WER %.2f (RTF %.4f, quantity rate %.3f, "
+                "%d resets, %d utts)", tsv, m["wer"], m["rtf"],
+                m["quantity_rate"], m["n_resets"], m["n_utts"])
+        elif getattr(args, "recog_oracle", False):
+            from ...evaluators.asr import eval_oracle_wer
+            m = eval_oracle_wer(session, loader)
+            logger.info("%s: oracle WER %.2f (%d utts)", tsv,
+                        m["oracle_wer"], m["n_utts"])
+        else:
+            m = eval_unit(session, loader, targs.unit, save_dir=out_dir)
+            if getattr(args, "recog_wer_by_length", False):
+                from ...evaluators.asr import eval_wer_by_length
+                m.update(eval_wer_by_length(session, loader))
+            logger.info("%s: WER %.2f / CER %.2f (RTF %.4f, %d utts)",
+                        tsv, m["wer"], m["cer"], m["rtf"], m["n_utts"])
         results[tsv] = m
     return results
 

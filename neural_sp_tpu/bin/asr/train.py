@@ -63,6 +63,18 @@ def main(argv=None):
         dynamic_batching=args.dynamic_batching,
         min_n_frames=args.min_n_frames, max_n_frames=args.max_n_frames,
         subsample_factor=1, seed=args.seed,
+        # per-utterance frame stacking / splicing (reference
+        # speech2text.py:371-377; host-side here)
+        n_stacks=getattr(args, "n_stacks", 1),
+        n_skips=getattr(args, "n_skips", 1),
+        n_splices=getattr(args, "n_splices", 1),
+        # hierarchical MTL sub-task label streams (reference build.py:94-103)
+        dict_path_sub1=getattr(args, "dict_sub1", None) or None,
+        unit_sub1=getattr(args, "unit_sub1", "char"),
+        wp_model_sub1=getattr(args, "wp_model_sub1", None),
+        dict_path_sub2=getattr(args, "dict_sub2", None) or None,
+        unit_sub2=getattr(args, "unit_sub2", "char"),
+        wp_model_sub2=getattr(args, "wp_model_sub2", None),
         # coarse padding grid: few distinct compiled shapes (TPU-first)
         pad_xlen_multiple=getattr(args, "pad_xlen_multiple", 128),
         pad_ylen_multiple=getattr(args, "pad_ylen_multiple", 32),
@@ -72,8 +84,15 @@ def main(argv=None):
     dev_set = build_dataloader(args.dev_set, bucketing="sort", is_test=True,
                                **loader_kw)
     args.vocab = train_set.vocab
+    if train_set.vocab_sub1:
+        args.vocab_sub1 = train_set.vocab_sub1
+    if train_set.vocab_sub2:
+        args.vocab_sub2 = train_set.vocab_sub2
     args.input_dim = int(train_set.dataset.df["xdim"].iloc[0]) \
         if "xdim" in train_set.dataset.df else args.input_dim
+    # frame stacking/splicing widen the feature dim seen by the model
+    args.input_dim *= getattr(args, "n_stacks", 1) * \
+        getattr(args, "n_splices", 1)
 
     model = build_speech2text(args)
     batch0 = next(iter(train_set))
@@ -118,18 +137,73 @@ def main(argv=None):
         opt_state = jax.device_put(opt_state, replicated(mesh))
     rsp_prob = getattr(args, "rsp_prob", 0.0)
     rsp_carry = None
+    compute_dtype = jnp.bfloat16 \
+        if getattr(args, "train_dtype", "float32") in ("bfloat16", "bf16") \
+        else None
     if rsp_prob > 0:
         # Random State Passing (reference rnn.py:323-327): thread the RNN
         # encoder carry across batches w.p. rsp_prob
         from ...parallel.mesh import make_rsp_train_step
-        step_fn = make_rsp_train_step(model, tx, rsp_prob, mesh)
+        step_fn = make_rsp_train_step(model, tx, rsp_prob, mesh,
+                                      compute_dtype=compute_dtype)
         _, carry0 = model.apply(
             {"params": params}, jnp.asarray(batch0["xs"]),
             jnp.asarray(batch0["xlens"]), method=model.encode)
         assert carry0 is not None, "rsp_prob requires an RNN encoder"
         rsp_carry = jax.tree.map(jnp.zeros_like, carry0)
     else:
-        step_fn = make_train_step(model, tx, mesh)
+        step_fn = make_train_step(model, tx, mesh,
+                                  compute_dtype=compute_dtype)
+
+    # knowledge-distillation teacher (reference speech2text.py:347-367 +
+    # train.py teacher args): teacher-forced soft targets per batch
+    teacher_fn = None
+    teacher_dir = getattr(args, "teacher", "")
+    if teacher_dir:
+        from types import SimpleNamespace
+        from ...bin.args import load_config
+        tconf = SimpleNamespace(**load_config(
+            os.path.join(teacher_dir, "conf.yml")))
+        tmodel = build_speech2text(tconf)
+        from ...trainers.checkpoint import latest_epoch as _latest
+        tp = load_checkpoint(os.path.join(
+            teacher_dir, f"ckpt.epoch-{_latest(teacher_dir)}"))["params"]
+        t_temp = getattr(args, "distillation_temperature", 1.0)
+        teacher_fn = jax.jit(lambda xs, xlens, ys, ylens: tmodel.apply(
+            {"params": tp}, xs, xlens, ys, ylens, t_temp,
+            method=tmodel.teacher_probs))
+        logger.info("distillation teacher loaded from %s", teacher_dir)
+
+    # MBR fine-tuning (reference train.py:489-504 + las.py:507-616):
+    # per-batch n-best generation + WER risks + expected-risk gradient
+    mbr_enabled = bool(getattr(args, "mbr_training", False))
+    mbr_start = getattr(args, "mbr_start_epoch", 1)
+    if mbr_enabled:
+        from ...models.decoders.decoding import (
+            Speech2TextSession, DecodeConfig)
+        from ...evaluators.edit_distance import compute_wer
+        mbr_nbest = getattr(args, "mbr_nbest", 4)
+        mbr_ce_weight = getattr(args, "mbr_ce_weight", 0.01)
+
+        def _mbr_loss(p, xs, xlens, nbest_ys, nbest_ylens, risks,
+                      ys, ylens):
+            eouts, _ = model.apply({"params": p}, xs, xlens, "ys",
+                                   method=model.encode)
+            ex, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+            loss_mbr = model.apply(
+                {"params": p}, ex, el, nbest_ys, nbest_ylens, risks,
+                method=lambda m, *a: m.dec_fwd.forward_mbr(*a))
+            loss_ce, _ = model.apply({"params": p}, xs, xlens, ys, ylens)
+            return loss_mbr + mbr_ce_weight * loss_ce
+
+        @jax.jit
+        def mbr_step(p, o, xs, xlens, nbest_ys, nbest_ylens, risks,
+                     ys, ylens):
+            loss, g = jax.value_and_grad(_mbr_loss)(
+                p, xs, xlens, nbest_ys, nbest_ylens, risks, ys, ylens)
+            import optax as _optax
+            up, o = tx.update(g, o, p)
+            return _optax.apply_updates(p, up), o, loss
 
     save_config(vars(args), os.path.join(save_dir, "conf.yml"))
     for aux in ("dict", "wp_model"):
@@ -169,10 +243,11 @@ def main(argv=None):
                 if rsp_prob > 0:
                     from ...parallel.mesh import make_rsp_train_step
                     _phase_steps[over] = make_rsp_train_step(
-                        phase_model, tx, rsp_prob, mesh)
+                        phase_model, tx, rsp_prob, mesh,
+                        compute_dtype=compute_dtype)
                 else:
                     _phase_steps[over] = make_train_step(
-                        phase_model, tx, mesh)
+                        phase_model, tx, mesh, compute_dtype=compute_dtype)
             else:
                 _phase_steps[over] = step_fn
         return _phase_steps[over]
@@ -182,12 +257,61 @@ def main(argv=None):
     # mutates optimizer.param_groups lr in-place, lr_scheduler.py:131-225).
     lr_ref = args.lr
 
+    @jax.jit
+    def eval_step(p, xs, xlens, ys, ylens):
+        return model.apply({"params": p}, xs, xlens, ys, ylens)
+
     for epoch in range(start_epoch, args.n_epochs + 1):
         epoch_step_fn = step_for_epoch(epoch)
         lr_scale = controller.lr / lr_ref if lr_ref else 1.0
         train_set.set_epoch(epoch)
         t0 = time.time()
-        for i, batch in enumerate(train_set):
+        use_mbr = mbr_enabled and epoch >= mbr_start
+        if use_mbr:
+            # MBR fine-tuning epoch (reference train.py:489-504): beam-search
+            # n-best per batch, WER risks, expected-risk gradient step,
+            # sub-epoch checkpoints
+            mbr_sess = Speech2TextSession(
+                model, params,
+                DecodeConfig(beam_width=max(mbr_nbest, 4), n_best=mbr_nbest))
+            from ...models.utils import np_pad_lists
+            ck_interval = getattr(args, "mbr_ckpt_interval", 0)
+            for i, batch in enumerate(train_set):
+                mbr_sess.params = params
+                nb_ys, nb_lens, risks = [], [], []
+                for b in range(len(batch["utt_ids"])):
+                    eo = mbr_sess.encode(batch["xs"][b:b + 1],
+                                         batch["xlens"][b:b + 1])
+                    _, nbest = mbr_sess._beam_one_las(
+                        eo["ys"]["xs"], np.asarray(eo["ys"]["xlens"]))
+                    nbest = (nbest + [nbest[-1] if nbest else [2]] *
+                             mbr_nbest)[:mbr_nbest]
+                    ref = batch["text"][b].split()
+                    from ...evaluators.edit_distance import compute_wer
+                    rk = [float(sum(compute_wer(
+                        ref, train_set.idx2token(h).split())[1:]))
+                        for h in nbest]
+                    ys_p, yl_p = np_pad_lists(
+                        [h or [2] for h in nbest], min_len=8)
+                    nb_ys.append(ys_p)
+                    nb_lens.append(yl_p)
+                    risks.append(rk)
+                umax = max(a.shape[1] for a in nb_ys)
+                nb_ys = np.stack([np.pad(a, ((0, 0), (0, umax - a.shape[1])),
+                                         constant_values=3) for a in nb_ys])
+                params, opt_state, mloss = mbr_step(
+                    params, opt_state,
+                    jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+                    jnp.asarray(nb_ys), jnp.asarray(np.stack(nb_lens)),
+                    jnp.asarray(np.asarray(risks, np.float32)),
+                    jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+                reporter.add_observation({"loss": mloss})
+                reporter.step_forward()
+                if ck_interval and (i + 1) % ck_interval == 0:
+                    save_checkpoint(save_dir, epoch, params, opt_state,
+                                    controller.state_dict(),
+                                    sub_step=i + 1)
+        for i, batch in enumerate(train_set if not use_mbr else []):
             # jax.profiler trace window (SURVEY.md §5: the reference has no
             # profiler integration; we expose one via flags)
             pstart = getattr(args, "profile_start_step", 0)
@@ -208,11 +332,18 @@ def main(argv=None):
                     jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]),
                     lr_scale)
             else:
+                subs = {k: jnp.asarray(batch[k])
+                        for k in ("ys_sub1", "ylens_sub1",
+                                  "ys_sub2", "ylens_sub2") if k in batch}
+                if teacher_fn is not None:
+                    subs["teacher_probs"] = teacher_fn(
+                        jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+                        jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
                 params, opt_state, metrics = epoch_step_fn(
                     params, opt_state, key,
                     jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
                     jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]),
-                    lr_scale)
+                    lr_scale, **subs)
             if getattr(reporter, "_tracing", False) and \
                     reporter.step + 1 >= reporter._trace_end:
                 jax.block_until_ready(metrics["loss"])
@@ -229,12 +360,12 @@ def main(argv=None):
                     reporter.step, epoch, float(metrics["loss"]),
                     (i + 1) * len(batch["utt_ids"]) / (time.time() - t0))
 
-        # validation
+        # validation — jitted once; the loader's coarse padding grid keeps
+        # the number of compiled shape variants small
         dev_loss, n_batches = 0.0, 0
         for batch in dev_set:
-            loss, obs = model.apply(
-                {"params": params},
-                jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
+            loss, obs = eval_step(
+                params, jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
                 jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
             reporter.add_observation(obs, is_eval=True)
             dev_loss += float(loss)

@@ -80,13 +80,20 @@ def main(argv=None):
 
     save_config(vars(args), os.path.join(save_dir, "conf.yml"))
 
+    compute_dtype = jnp.bfloat16 \
+        if getattr(args, "train_dtype", "float32") in ("bfloat16", "bf16") \
+        else None
+
     @jax.jit
     def step(params, opt_state, state, xi, xo, key, lr_scale):
         def loss_fn(p):
+            if compute_dtype is not None:
+                from ...parallel.mesh import cast_floating
+                p = cast_floating(p, compute_dtype)
             loss, new_state, obs = lm.apply(
                 {"params": p}, xi, xo, state, False,
                 rngs={"dropout": key})
-            return loss, (new_state, obs)
+            return loss.astype(jnp.float32), (new_state, obs)
         (loss, (new_state, obs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

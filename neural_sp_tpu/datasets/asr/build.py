@@ -28,16 +28,30 @@ def build_dataloader(
     pad_ylen_multiple: int = 8,
     pad_batch_multiple: int = 1,
     longform_max_n_frames: int = 0,
+    n_stacks: int = 1,
+    n_skips: int = 1,
+    n_splices: int = 1,
+    dict_path_sub1: str | None = None,
+    unit_sub1: str = "char",
+    wp_model_sub1: str | None = None,
+    dict_path_sub2: str | None = None,
+    unit_sub2: str = "char",
+    wp_model_sub2: str | None = None,
 ) -> ASRDataLoader:
     dataset = ASRDataset(
         tsv_path=tsv_path, dict_path=dict_path, unit=unit, wp_model=wp_model,
         nlsyms=nlsyms, min_n_frames=min_n_frames, max_n_frames=max_n_frames,
         subsample_factor=subsample_factor, is_test=is_test,
-        sort_by=sort_by, short2long=short2long)
+        sort_by=sort_by, short2long=short2long,
+        dict_path_sub1=dict_path_sub1, unit_sub1=unit_sub1,
+        wp_model_sub1=wp_model_sub1,
+        dict_path_sub2=dict_path_sub2, unit_sub2=unit_sub2,
+        wp_model_sub2=wp_model_sub2)
     return ASRDataLoader(
         dataset, batch_size=batch_size, batch_size_type=batch_size_type,
         dynamic_batching=dynamic_batching, bucketing=bucketing, seed=seed,
         num_replicas=num_replicas, pad_xlen_multiple=pad_xlen_multiple,
         pad_ylen_multiple=pad_ylen_multiple,
         pad_batch_multiple=pad_batch_multiple,
-        longform_max_n_frames=longform_max_n_frames)
+        longform_max_n_frames=longform_max_n_frames,
+        n_stacks=n_stacks, n_skips=n_skips, n_splices=n_splices)

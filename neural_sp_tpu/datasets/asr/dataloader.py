@@ -28,7 +28,9 @@ def _round_up(x: int, m: int) -> int:
 
 def collate(items, pad_xlen_multiple: int = 16, pad_ylen_multiple: int = 8,
             pad_batch_multiple: int = 1):
-    """List of dataset items -> dict of padded numpy arrays + metadata."""
+    """List of dataset items -> dict of padded numpy arrays + metadata.
+    Emits ``ys_sub1``/``ys_sub2`` label tensors when the dataset carries
+    sub-task converters (reference collate, asr/build.py:94-103)."""
     bs = len(items)
     bs_pad = _round_up(bs, pad_batch_multiple)
     xmax = _round_up(max(it["xs"].shape[0] for it in items), pad_xlen_multiple)
@@ -46,12 +48,26 @@ def collate(items, pad_xlen_multiple: int = 16, pad_ylen_multiple: int = 8,
         ys[i, :u] = it["ys"]
         xlens[i] = t
         ylens[i] = u
-    return {
+    out = {
         "xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens,
         "utt_ids": [it["utt_id"] for it in items],
         "speakers": [it["speaker"] for it in items],
         "text": [it["text"] for it in items],
     }
+    for sub in ("sub1", "sub2"):
+        key = f"ys_{sub}"
+        if key in items[0]:
+            ymax_s = _round_up(max(max(len(it[key]), 1) for it in items),
+                               pad_ylen_multiple)
+            ys_s = np.full((bs_pad, ymax_s), PAD, np.int32)
+            ylens_s = np.zeros(bs_pad, np.int32)
+            for i, it in enumerate(items):
+                u = len(it[key])
+                ys_s[i, :u] = it[key]
+                ylens_s[i] = u
+            out[key] = ys_s
+            out[f"ylens_{sub}"] = ylens_s
+    return out
 
 
 class ASRDataLoader:
@@ -69,8 +85,17 @@ class ASRDataLoader:
         pad_batch_multiple: int = 1,
         prefetch: int = 2,
         longform_max_n_frames: int = 0,
+        n_stacks: int = 1,
+        n_skips: int = 1,
+        n_splices: int = 1,
     ):
         self.dataset = dataset
+        # per-utterance frame stacking / splicing BEFORE batching
+        # (reference applies them in encode(), speech2text.py:371-377; here
+        # they live in the host loader so the device graph sees one shape)
+        self.n_stacks = n_stacks
+        self.n_skips = n_skips
+        self.n_splices = n_splices
         self.batch_size = batch_size
         self.batch_size_type = batch_size_type
         self.dynamic_batching = dynamic_batching
@@ -95,6 +120,18 @@ class ASRDataLoader:
     def idx2token(self):
         return self.dataset.idx2token
 
+    @property
+    def vocab_sub1(self):
+        c = getattr(self.dataset, "token2idx_sub1", None)
+        return len(c.token2idx) if c is not None and \
+            hasattr(c, "token2idx") else None
+
+    @property
+    def vocab_sub2(self):
+        c = getattr(self.dataset, "token2idx_sub2", None)
+        return len(c.token2idx) if c is not None and \
+            hasattr(c, "token2idx") else None
+
     def _make_batches(self):
         return make_batches(
             self.dataset.df,
@@ -114,11 +151,23 @@ class ASRDataLoader:
         self.epoch = epoch
         self._batches = self._make_batches()
 
+    def _transform(self, items):
+        if self.n_stacks > 1 or self.n_skips > 1:
+            from ...frontends.frame_stacking import stack_frame
+            for it in items:
+                it["xs"] = stack_frame(it["xs"], self.n_stacks, self.n_skips)
+        if self.n_splices > 1:
+            from ...frontends.splicing import splice
+            for it in items:
+                it["xs"] = splice(it["xs"], self.n_splices)
+        return items
+
     def _load(self, batch):
-        fast = self._load_native(batch)
-        if fast is not None:
-            return fast
-        items = [self.dataset[i] for i in batch]
+        if self.n_stacks == 1 and self.n_skips == 1 and self.n_splices == 1:
+            fast = self._load_native(batch)
+            if fast is not None:
+                return fast
+        items = self._transform([self.dataset[i] for i in batch])
         return collate(items, self.pad_xlen_multiple, self.pad_ylen_multiple,
                        self.pad_batch_multiple)
 
@@ -153,12 +202,26 @@ class ASRDataLoader:
         for i, y in enumerate(ys_list):
             ys[i, : len(y)] = y
             ylens[i] = len(y)
-        return {
+        out = {
             "xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens,
             "utt_ids": list(rows["utt_id"]),
             "speakers": list(rows["speaker"]),
             "text": list(rows["text"]),
         }
+        for sub in ("sub1", "sub2"):
+            if getattr(self.dataset, f"token2idx_{sub}", None) is None:
+                continue
+            ys_l = [self.dataset.token_ids_sub(i, sub) for i in batch]
+            ymax_s = -(-max(max(len(y), 1) for y in ys_l)
+                       // self.pad_ylen_multiple) * self.pad_ylen_multiple
+            ys_s = np.full((bs_pad, ymax_s), PAD, np.int32)
+            ylens_s = np.zeros(bs_pad, np.int32)
+            for i, yy in enumerate(ys_l):
+                ys_s[i, : len(yy)] = yy
+                ylens_s[i] = len(yy)
+            out[f"ys_{sub}"] = ys_s
+            out[f"ylens_{sub}"] = ylens_s
+        return out
 
     def __iter__(self):
         if self.prefetch <= 0:

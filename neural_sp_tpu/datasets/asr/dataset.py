@@ -51,6 +51,12 @@ class ASRDataset:
         short2long: bool = False,
         ctc_alignment_dir: str | None = None,
         use_tsv_token_ids: bool = True,
+        dict_path_sub1: str | None = None,
+        unit_sub1: str = "char",
+        wp_model_sub1: str | None = None,
+        dict_path_sub2: str | None = None,
+        unit_sub2: str = "char",
+        wp_model_sub2: str | None = None,
     ):
         # NOTE: the TSV token_id column is unit-specific (the reference writes
         # one TSV per unit). Set use_tsv_token_ids=False to re-tokenize `text`
@@ -59,6 +65,17 @@ class ASRDataset:
         self.unit = unit
         self.token2idx, self.idx2token = build_converters(
             unit, dict_path, wp_model, nlsyms)
+        # hierarchical MTL sub-task converters (reference dataset.py attaches
+        # per-sub-task token ids; collate emits ys_sub1/ys_sub2,
+        # asr/build.py:94-103)
+        self.token2idx_sub1 = self.token2idx_sub2 = None
+        self.idx2token_sub1 = self.idx2token_sub2 = None
+        if dict_path_sub1:
+            self.token2idx_sub1, self.idx2token_sub1 = build_converters(
+                unit_sub1, dict_path_sub1, wp_model_sub1, nlsyms)
+        if dict_path_sub2:
+            self.token2idx_sub2, self.idx2token_sub2 = build_converters(
+                unit_sub2, dict_path_sub2, wp_model_sub2, nlsyms)
         df = pd.read_csv(tsv_path, sep="\t", dtype={"utt_id": str,
                                                     "speaker": str,
                                                     "text": str})
@@ -92,13 +109,24 @@ class ASRDataset:
             return np.asarray([int(t) for t in tid.split()], np.int32)
         return np.asarray(self.token2idx(row["text"]), np.int32)
 
+    def token_ids_sub(self, i: int, sub: str) -> np.ndarray | None:
+        conv = getattr(self, f"token2idx_{sub}")
+        if conv is None:
+            return None
+        return np.asarray(conv(self.df.iloc[i]["text"]), np.int32)
+
     def __getitem__(self, i: int):
         row = self.df.iloc[i]
         feat = load_feat(row["feat_path"])
-        return {
+        out = {
             "utt_id": row["utt_id"],
             "speaker": row["speaker"],
             "xs": feat.astype(np.float32),
             "ys": self.token_ids(i),
             "text": row["text"],
         }
+        for sub in ("sub1", "sub2"):
+            ys_s = self.token_ids_sub(i, sub)
+            if ys_s is not None:
+                out[f"ys_{sub}"] = ys_s
+        return out

@@ -256,6 +256,24 @@ class CTCPrefixScorer:
         self.lp = np.concatenate([self.lp, np.asarray(log_probs_chunk)], 0)
         self.T = self.lp.shape[0]
 
+    def extend_state(self, hyp: list[int], r_prev: np.ndarray) -> np.ndarray:
+        """Extend a beam state over frames appended by
+        ``register_new_chunk`` (block-synchronous decoding: the prefix is
+        fixed, only T grows — reference CTCPrefixScore streaming usage,
+        ctc.py:803-806)."""
+        t_old = r_prev.shape[0]
+        if t_old >= self.T:
+            return r_prev
+        r = np.concatenate(
+            [r_prev, np.full((self.T - t_old, 2), LOG0, np.float32)], 0)
+        last = hyp[-1] if hyp else -1
+        for t in range(t_old, self.T):
+            if last >= 0:
+                r[t, 0] = r[t - 1, 0] + self.lp[t, last]
+            r[t, 1] = np.logaddexp(r[t - 1, 0], r[t - 1, 1]) + \
+                self.lp[t, self.blank]
+        return r
+
     def initial_state(self):
         # r[t, 0]: prob of prefix ending in nonblank, r[t, 1]: in blank
         r = np.full((self.T, 2), LOG0, np.float32)

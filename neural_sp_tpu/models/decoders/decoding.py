@@ -58,6 +58,8 @@ class Speech2TextSession:
     def __init__(self, model, params, conf: DecodeConfig | None = None,
                  lm_session=None, ensemble=None):
         self.model = model
+        # live-updatable (MBR fine-tuning re-points this between batches;
+        # every jitted fn takes params as an argument, so no recompiles)
         self.params = params
         self.conf = conf or DecodeConfig()
         self.lm = lm_session
@@ -67,37 +69,54 @@ class Speech2TextSession:
         self.ensemble = ensemble or []
         self.lm_second = None        # set via attach_second_pass_lms
         self.lm_bwd = None
-        self._encode = jax.jit(
-            lambda xs, xlens: model.apply(
-                {"params": params}, xs, xlens, method=model.encode)[0])
+        self._encode_p = jax.jit(
+            lambda p, xs, xlens: model.apply(
+                {"params": p}, xs, xlens, method=model.encode)[0])
         dec = model.dec_fwd
         self.dec = dec
         if isinstance(dec, RNNDecoder):
-            self._keys = jax.jit(lambda e: model.apply(
-                {"params": params}, e,
+            self._keys_p = jax.jit(lambda p, e: model.apply(
+                {"params": p}, e,
                 method=lambda m, e: m.dec_fwd.precompute_keys(e)))
-            self._step = jax.jit(lambda carry, y, kc, e, m: model.apply(
-                {"params": params}, carry, y, kc, e, m,
+            self._step_p = jax.jit(lambda p, carry, y, kc, e, m: model.apply(
+                {"params": p}, carry, y, kc, e, m,
                 method=lambda mdl, c, y, kc, e, m:
                 mdl.dec_fwd.decode_step(c, y, kc, e, m)))
         elif isinstance(dec, TransformerDecoder):
-            self._src = jax.jit(lambda e: model.apply(
-                {"params": params}, e,
+            self._src_p = jax.jit(lambda p, e: model.apply(
+                {"params": p}, e,
                 method=lambda m, e: m.dec_fwd.precompute_src(e)))
-            self._tstep = jax.jit(
-                lambda caches, src, y, mask, off, e: model.apply(
-                    {"params": params}, caches, src, y, mask, off, e,
+            self._tstep_p = jax.jit(
+                lambda p, caches, src, y, mask, off, e: model.apply(
+                    {"params": p}, caches, src, y, mask, off, e,
                     method=lambda mdl, c, s, y, m, o, e:
                     mdl.dec_fwd.decode_step(c, s, y, m, o, e)),
-                static_argnums=(4,))
+                static_argnums=(5,))
         if model.ctc is not None:
-            self._ctc_logp = jax.jit(lambda e: model.apply(
-                {"params": params}, e,
+            self._ctc_logp_p = jax.jit(lambda p, e: model.apply(
+                {"params": p}, e,
                 method=lambda m, e: m.ctc.log_probs(e)))
+
+    # params-bound views of the jitted fns ------------------------------- #
+    def _keys(self, e):
+        return self._keys_p(self.params, e)
+
+    def _step(self, carry, y, kc, e, m):
+        return self._step_p(self.params, carry, y, kc, e, m)
+
+    def _src(self, e):
+        return self._src_p(self.params, e)
+
+    def _tstep(self, caches, src, y, mask, off, e):
+        return self._tstep_p(self.params, caches, src, y, mask, off, e)
+
+    def _ctc_logp(self, e):
+        return self._ctc_logp_p(self.params, e)
 
     # ------------------------------------------------------------------ #
     def encode(self, xs, xlens):
-        return self._encode(jnp.asarray(xs), jnp.asarray(xlens))
+        return self._encode_p(self.params, jnp.asarray(xs),
+                              jnp.asarray(xlens))
 
     def decode_ctc_greedy(self, xs, xlens):
         eouts = self.encode(xs, xlens)
@@ -146,9 +165,13 @@ class Speech2TextSession:
         eouts = self.encode(xs, xlens)
         e, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
         max_len = max(int(e.shape[1] * self.conf.max_len_ratio), 2)
-        toks, lens = self.model.apply(
-            {"params": self.params}, e, el, max_len,
-            method=lambda m, e, el, L: m.dec_fwd.greedy_scan(e, el, L))
+        if not hasattr(self, "_greedy_scan_p"):
+            self._greedy_scan_p = jax.jit(
+                lambda p, e, el, L: self.model.apply(
+                    {"params": p}, e, el, L,
+                    method=lambda m, *a: m.dec_fwd.greedy_scan(*a)),
+                static_argnums=(3,))
+        toks, lens = self._greedy_scan_p(self.params, e, el, max_len)
         toks, lens = np.asarray(toks), np.asarray(lens)
         return [[int(t) for t in toks[b, :lens[b]] if t not in (EOS, PAD)]
                 for b in range(toks.shape[0])]
@@ -185,13 +208,13 @@ class Speech2TextSession:
         key = f"_tf_{dec_attr}"
         if not hasattr(self, key):
             setattr(self, key, jax.jit(
-                lambda e, el, ys, ylens: self.model.apply(
-                    {"params": self.params}, e, el, ys, ylens,
+                lambda p, e, el, ys, ylens: self.model.apply(
+                    {"params": p}, e, el, ys, ylens,
                     method=lambda m, *a: getattr(
                         m, dec_attr).sequence_log_prob(*a))))
         ys, ylens = np_pad_lists([hyp], min_len=((len(hyp) + 7) // 8) * 8)
         return float(getattr(self, key)(
-            e, el, jnp.asarray(ys), jnp.asarray(ylens))[0])
+            self.params, e, el, jnp.asarray(ys), jnp.asarray(ylens))[0])
 
     def _post_process_nbest(self, e, el, nbest: list[list[int]]) -> list[int]:
         """Second-pass LM / backward-LM rescoring + forward-backward decoder
@@ -617,16 +640,9 @@ class Speech2TextSession:
         total_in, hop_in = enc.block_input_frames()
         _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
 
-        if not hasattr(self, "_stream_step"):
-            # one device dispatch per block: encoder step + CTC posteriors
-            def _step(mdl, xb, c):
-                eouts_blk, new_c = mdl.encoder.streaming_step(xb, c)
-                lp = mdl.ctc.log_probs(eouts_blk) \
-                    if mdl.ctc is not None else None
-                return eouts_blk, lp, new_c
-            self._stream_step = jax.jit(
-                lambda xb, cache: self.model.apply(
-                    {"params": self.params}, xb, cache, method=_step))
+        if isinstance(self.dec, RNNDecoder) and self.dec.attn_type == "mocha":
+            return self.decode_streaming_attention(x_whole)
+        self._get_stream_step()
         cache = enc.init_stream_cache(1)
         use_rnnt = isinstance(self.dec, RNNTransducer)
         if use_rnnt:
@@ -678,6 +694,299 @@ class Speech2TextSession:
                  "n_resets": n_resets, "n_frames": n_frames}
         return hyp, stats
 
+    def _get_stream_step(self):
+        """Jitted per-block encoder step (+CTC posteriors), shared by every
+        streaming decode path."""
+        if not hasattr(self, "_stream_step"):
+            def _step(mdl, xb, c):
+                eouts_blk, new_c = mdl.encoder.streaming_step(xb, c)
+                lp = mdl.ctc.log_probs(eouts_blk) \
+                    if mdl.ctc is not None else None
+                return eouts_blk, lp, new_c
+            f = jax.jit(
+                lambda p, xb, cache: self.model.apply(
+                    {"params": p}, xb, cache, method=_step))
+            self._stream_step = lambda xb, cache: f(self.params, xb, cache)
+        return self._stream_step
+
+    # ------------------------------------------------------------------ #
+    def decode_streaming_attention(self, x_whole, t_pad_blocks: int = 8):
+        """Block-synchronous MoChA/MMA attention-decoder beam search over a
+        streamed utterance (reference ``RNNDecoder.beam_search_block_sync``
+        las.py:1492-1706).
+
+        Reference semantics reproduced:
+          * per encoder block, label-synchronous beam expansion; a
+            hypothesis whose hard monotonic attention finds NO boundary in
+            the frames seen so far is parked ("hyps without boundary",
+            las.py:1534-1560) with its decoder state rolled back, and
+            retried when the next block arrives;
+          * parked and expanded hypotheses compete for the beam
+            (las.py:1652-1660 merge + prune);
+          * joint CTC prefix scoring and LM shallow fusion advance
+            chunk-by-chunk (``register_new_chunk``, ctc.py:803-806).
+        Difference by design: the full accumulated encoder output buffer is
+        kept on device (utterances are <=1600 frames, SURVEY §5), so the
+        reference's ``key_tail`` carry (las.py:1699-1704) — needed there
+        because old frames are discarded — does not arise: chunkwise
+        attention windows always see their full lookback.
+
+        Returns (hyp ids, stats incl. per-token boundary frames for
+        streamability metrics).
+        """
+        import time
+        from ...frontends.streaming import StreamingDriver
+
+        conf = self.conf
+        dec: RNNDecoder = self.dec
+        beam = conf.beam_width
+        enc = self.model.encoder
+        total_in, hop_in = enc.block_input_frames()
+        _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
+        factor = enc.subsampling_factor
+        stream_step = self._get_stream_step()
+        t_pad_mult = max(n_c * t_pad_blocks, 64)
+
+        t0 = time.time()
+        cache = enc.init_stream_cache(1)
+        e_acc: list[np.ndarray] = []     # accumulated encoder frames
+        lp_acc: list[np.ndarray] = []    # accumulated CTC log-probs
+        t_acc = 0
+        t_pad = 0
+
+        use_ctc = conf.ctc_weight > 0 and self.model.ctc is not None
+        ctc_scorer = None
+        use_lm = self.lm is not None and conf.lm_weight > 0
+
+        # beam rows (host bookkeeping; NN state lives in `carry` on device)
+        hyps: list[list[int]] = [[] for _ in range(beam)]
+        bounds: list[list[int]] = [[] for _ in range(beam)]
+        scores = np.full(beam, -1e30, np.float32)
+        scores[0] = 0.0
+        scores_ctc = np.zeros(beam, np.float32)
+        ctc_states = [None] * beam
+        lm_states = [self.lm.initial_state(1) if use_lm else None] * beam
+        alive = np.zeros(beam, bool)
+        alive[0] = True
+        y = jnp.full((beam,), EOS, jnp.int32)
+        carry = None
+        finished: list[dict] = []
+        n_frames = 0
+
+        def _mix_carry(pre, post, par, take_post):
+            m = jnp.asarray(take_post)
+
+            def mix(a, b):
+                g_pre, g_post = a[par], b[par]
+                mm = m.reshape((beam,) + (1,) * (g_pre.ndim - 1))
+                return jnp.where(mm, g_post, g_pre)
+            return jax.tree.map(mix, pre, post)
+
+        for block, n_new, is_last in StreamingDriver(
+                x_whole, total_in, hop_in, cnn_ctx_in):
+            eouts_blk, lp_blk, cache = stream_step(
+                jnp.asarray(block)[None], cache)
+            n_out = -(-n_new // factor)
+            e_acc.append(np.asarray(eouts_blk)[0][:n_out])
+            n_frames += n_new
+            if use_ctc:
+                lp_new = np.asarray(lp_blk)[0][:n_out]
+                if ctc_scorer is None:
+                    ctc_scorer = CTCPrefixScorer(lp_new)
+                    ctc_states = [ctc_scorer.initial_state() if alive[k]
+                                  else None for k in range(beam)]
+                else:
+                    ctc_scorer.register_new_chunk(lp_new)
+                    ctc_states = [
+                        ctc_scorer.extend_state(hyps[k], ctc_states[k])
+                        if ctc_states[k] is not None else None
+                        for k in range(beam)]
+            t_acc += n_out
+
+            # (re)build padded device tensors when the pad bucket grows
+            new_t_pad = -(-t_acc // t_pad_mult) * t_pad_mult
+            if new_t_pad != t_pad or carry is None:
+                old_t_pad, t_pad = t_pad, new_t_pad
+                e_np = np.concatenate(e_acc, 0)
+                e_pad = np.zeros((t_pad, e_np.shape[1]), e_np.dtype)
+                e_pad[:t_acc] = e_np
+                e_t = jnp.asarray(np.repeat(e_pad[None], beam, 0))
+                kc = self._keys(e_t)
+                if carry is None:
+                    carry = dec.init_carry(beam, t_pad, e_t.dtype)
+                else:
+                    # grow the alpha carry's T axis (one-hot boundaries)
+                    aw = jnp.pad(carry[1],
+                                 ((0, 0), (0, 0), (0, t_pad - old_t_pad)))
+                    carry = (carry[0], aw) + carry[2:]
+            else:
+                e_np = np.concatenate(e_acc, 0)
+                e_pad = np.zeros((t_pad, e_np.shape[1]), e_np.dtype)
+                e_pad[:t_acc] = e_np
+                e_t = jnp.asarray(np.repeat(e_pad[None], beam, 0))
+                kc = self._keys(e_t)
+            mask = make_pad_mask(jnp.full((beam,), t_acc, jnp.int32), t_pad)
+
+            max_tokens = max(int(t_acc * conf.max_len_ratio), 2)
+            parked = ~alive.copy()
+            while not parked.all():
+                carry_post, logits, aw = self._step(carry, y, kc, e_t, mask)
+                alpha = np.asarray(aw)            # [beam, H, T] one-hot
+                fired = alpha.sum(axis=(1, 2)) > 0
+                under_cap = np.asarray(
+                    [len(h) < max_tokens for h in hyps])
+                expand = alive & ~parked & fired & under_cap
+                parked |= ~fired | ~under_cap     # no boundary -> wait
+                if not expand.any():
+                    break
+                logp = np.asarray(jax.nn.log_softmax(
+                    conf.softmax_smoothing * logits.astype(jnp.float32), -1))
+                V = logp.shape[-1]
+                lm_logp = np.zeros_like(logp)
+                new_lm_states = lm_states
+                if use_lm:
+                    new_lm_states = list(lm_states)
+                    for k in np.where(expand)[0]:
+                        lp_k, st = self.lm.predict(
+                            np.asarray([hyps[k][-1] if hyps[k] else EOS],
+                                       np.int32), lm_states[k])
+                        lm_logp[k] = np.asarray(lp_k[0])
+                        new_lm_states[k] = st
+
+                total = scores[:, None] + logp + conf.lm_weight * lm_logp
+                best_non_eos = np.max(np.delete(logp, EOS, axis=1), axis=1)
+                bad_eos = logp[:, EOS] < conf.eos_threshold * best_non_eos
+                if len(max(hyps, key=len)) < int(t_acc * conf.min_len_ratio):
+                    bad_eos[:] = True
+                total[bad_eos, EOS] = -1e30
+
+                new_ctc = None
+                if use_ctc and ctc_scorer is not None:
+                    ctc_cand = min(beam * 4, V)
+                    tot2 = np.full_like(total, -1e30)
+                    new_ctc = [[None] * V for _ in range(beam)]
+                    for k in np.where(expand)[0]:
+                        cands = np.argsort(logp[k])[::-1][:ctc_cand]
+                        psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
+                        tot2[k, cands] = (
+                            scores[k]
+                            + (1 - conf.ctc_weight) * logp[k, cands]
+                            + conf.ctc_weight * (psi - scores_ctc[k])
+                            + conf.lm_weight * lm_logp[k, cands])
+                        for ci, c in enumerate(cands):
+                            new_ctc[k][c] = (r_new[ci], float(psi[ci]))
+                        tot2[k, EOS] = -1e30 if bad_eos[k] else tot2[k, EOS]
+                    total = tot2
+                total[~expand, :] = -1e30
+
+                # candidate pool: parked survivors keep their slot scores
+                cands = [("keep", int(k), -1, float(scores[k]))
+                         for k in np.where(alive & parked)[0]]
+                flat = total.reshape(-1)
+                n_take = beam * 2
+                top = np.argpartition(-flat, min(n_take, flat.size - 1))[
+                    :n_take]
+                top = top[np.argsort(-flat[top])]
+                for idx in top:
+                    k, v = divmod(int(idx), V)
+                    sc = float(flat[idx])
+                    if sc <= -1e29:
+                        continue
+                    cands.append(("exp", k, v, sc))
+                cands.sort(key=lambda c: -c[3])
+
+                sel, par, take_post, new_y = [], [], [], []
+                n_hyps, n_bounds = [], []
+                n_scores, n_sctc, n_cstates, n_lmst, n_alive = \
+                    [], [], [], [], []
+                for kind, k, v, sc in cands:
+                    if kind == "exp" and v == EOS:
+                        L = len(hyps[k]) + 1
+                        fsc = sc / max(L, 1) if conf.length_norm else \
+                            sc + conf.length_penalty * L
+                        finished.append(
+                            {"hyp": hyps[k] + [EOS], "score": fsc,
+                             "bounds": list(bounds[k])})
+                        continue
+                    if len(sel) == beam:
+                        continue
+                    sel.append(kind)
+                    par.append(k)
+                    take_post.append(kind == "exp")
+                    if kind == "keep":
+                        new_y.append(hyps[k][-1] if hyps[k] else EOS)
+                        n_hyps.append(hyps[k])
+                        n_bounds.append(bounds[k])
+                        n_scores.append(scores[k])
+                        n_sctc.append(scores_ctc[k])
+                        n_cstates.append(ctc_states[k])
+                        n_lmst.append(lm_states[k])
+                        n_alive.append(True)
+                    else:
+                        t_bd = int(np.argmax(alpha[k].mean(0)))
+                        new_y.append(v)
+                        n_hyps.append(hyps[k] + [v])
+                        n_bounds.append(bounds[k] + [t_bd])
+                        n_scores.append(sc)
+                        if new_ctc is not None and \
+                                new_ctc[k][v] is not None:
+                            n_cstates.append(new_ctc[k][v][0])
+                            n_sctc.append(new_ctc[k][v][1])
+                        else:
+                            n_cstates.append(ctc_states[k])
+                            n_sctc.append(scores_ctc[k])
+                        n_lmst.append(new_lm_states[k] if use_lm else None)
+                        n_alive.append(True)
+                if not any(s == "exp" for s in sel):
+                    break
+                while len(sel) < beam:   # dead padding rows
+                    sel.append("keep")
+                    par.append(par[-1] if par else 0)
+                    take_post.append(False)
+                    new_y.append(EOS)
+                    n_hyps.append([])
+                    n_bounds.append([])
+                    n_scores.append(-1e30)
+                    n_sctc.append(0.0)
+                    n_cstates.append(ctc_states[0])
+                    n_lmst.append(lm_states[0])
+                    n_alive.append(False)
+
+                par_j = jnp.asarray(par, jnp.int32)
+                carry = _mix_carry(carry, carry_post, par_j,
+                                   np.asarray(take_post))
+                hyps = n_hyps
+                bounds = n_bounds
+                scores = np.asarray(n_scores, np.float32)
+                scores_ctc = np.asarray(n_sctc, np.float32)
+                ctc_states = n_cstates
+                lm_states = n_lmst
+                alive = np.asarray(n_alive)
+                parked = np.asarray(
+                    [s == "keep" for s in sel]) | ~alive
+                y = jnp.asarray(new_y, jnp.int32)
+                if len(finished) >= beam * 2:
+                    parked[:] = True
+            # next block: every surviving hyp may retry with new frames
+
+        for k in np.where(alive)[0]:     # force-finish at stream end
+            sc = float(scores[k])
+            L = len(hyps[k]) + 1
+            fsc = sc / max(L, 1) if conf.length_norm else \
+                sc + conf.length_penalty * L
+            finished.append({"hyp": hyps[k] + [EOS], "score": fsc,
+                             "bounds": list(bounds[k])})
+        if not finished:
+            finished = [{"hyp": [EOS], "score": 0.0, "bounds": []}]
+        finished.sort(key=lambda d: -d["score"])
+        best = finished[0]
+        elapsed = time.time() - t0
+        stats = {"rtf": elapsed / max(n_frames * 0.01, 1e-6),
+                 "n_resets": 0, "n_frames": n_frames,
+                 "boundaries": best["bounds"],
+                 "n_out_frames": t_acc}
+        return [t for t in best["hyp"] if t != EOS], stats
+
     # ------------------------------------------------------------------ #
     def decode_streaming_device(self, x_whole):
         """Whole-stream on-device greedy streaming decode: ONE jit dispatch
@@ -697,9 +1006,10 @@ class Speech2TextSession:
         _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
         factor = enc.subsampling_factor
         if not hasattr(self, "_stream_scan"):
-            self._stream_scan = jax.jit(lambda blocks: self.model.apply(
-                {"params": self.params}, blocks,
+            f = jax.jit(lambda p, blocks: self.model.apply(
+                {"params": p}, blocks,
                 method=self.model.streaming_ctc_scan))
+            self._stream_scan = lambda blocks: f(self.params, blocks)
 
         t0 = time.time()
         blocks = []
@@ -725,12 +1035,14 @@ class Speech2TextSession:
     # ------------------------------------------------------------------ #
     def _rnnt_fns(self):
         if not hasattr(self, "_rnnt_pred"):
-            self._rnnt_pred = jax.jit(lambda y, c: self.model.apply(
-                {"params": self.params}, y, c,
+            fp = jax.jit(lambda p, y, c: self.model.apply(
+                {"params": p}, y, c,
                 method=lambda m, y, c: m.dec_fwd.pred_net(y, c)))
-            self._rnnt_joint = jax.jit(lambda et, pt: self.model.apply(
-                {"params": self.params}, et, pt,
+            fj = jax.jit(lambda p, et, pt: self.model.apply(
+                {"params": p}, et, pt,
                 method=lambda m, et, pt: m.dec_fwd.joint_step(et, pt)))
+            self._rnnt_pred = lambda y, c: fp(self.params, y, c)
+            self._rnnt_joint = lambda et, pt: fj(self.params, et, pt)
         return self._rnnt_pred, self._rnnt_joint
 
     def _pred_state(self, prefix: tuple, cache: dict):
@@ -824,12 +1136,14 @@ class Speech2TextSession:
         bs = e.shape[0]
 
         if not hasattr(self, "_rnnt_pred"):
-            self._rnnt_pred = jax.jit(lambda y, c: self.model.apply(
-                {"params": self.params}, y, c,
+            fp = jax.jit(lambda p, y, c: self.model.apply(
+                {"params": p}, y, c,
                 method=lambda m, y, c: m.dec_fwd.pred_net(y, c)))
-            self._rnnt_joint = jax.jit(lambda et, pt: self.model.apply(
-                {"params": self.params}, et, pt,
+            fj = jax.jit(lambda p, et, pt: self.model.apply(
+                {"params": p}, et, pt,
                 method=lambda m, et, pt: m.dec_fwd.joint_step(et, pt)))
+            self._rnnt_pred = lambda y, c: fp(self.params, y, c)
+            self._rnnt_joint = lambda et, pt: fj(self.params, et, pt)
 
         out = []
         for b in range(bs):

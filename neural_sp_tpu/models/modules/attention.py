@@ -100,11 +100,13 @@ class AttentionMechanism(nn.Module):
             mask = trig_mask if mask is None else (mask & trig_mask)
         if mask is not None:
             e = apply_mask_logits(e, mask)
+        e32 = e.astype(jnp.float32)  # f32 normalisation under bf16 compute
         if self.sigmoid_smoothing:
-            aw = jax.nn.sigmoid(e)
+            aw = jax.nn.sigmoid(e32)
             aw = aw / jnp.maximum(aw.sum(-1, keepdims=True), 1e-6)
         else:
-            aw = jax.nn.softmax(self.sharpening_factor * e, axis=-1)
+            aw = jax.nn.softmax(self.sharpening_factor * e32, axis=-1)
+        aw = aw.astype(e.dtype)
         aw = self.drop(aw, deterministic=deterministic)
         ctx = jnp.einsum("bk,bkd->bd", aw, value)
         return ctx, aw

@@ -52,6 +52,11 @@ class Speech2Text(nn.Module):
     specaug_adaptive_size_ratio: float = 0.0
     # input Gaussian noise (reference frontends/input_noise.py)
     input_noise_std: float = 0.0
+    # sequence summary network (speaker adaptation, reference
+    # speech2text.py:414-417 + frontends/sequence_summary.py)
+    ssn: Optional[nn.Module] = None
+    # knowledge distillation mixing weight (reference las.py:771-774)
+    distillation_weight: float = 0.0
     # weight noise is applied by the trainer on params (reference base.py:77)
 
     @property
@@ -74,6 +79,8 @@ class Speech2Text(nn.Module):
         if not deterministic and self.input_noise_std > 0:
             xs = xs + self.input_noise_std * jax.random.normal(
                 self.make_rng("specaug"), xs.shape, xs.dtype)
+        if self.ssn is not None:
+            xs = self.ssn(xs, xlens, deterministic=deterministic)
         return xs, xlens
 
     def encode(self, xs, xlens, task: str = "all",
@@ -134,10 +141,20 @@ class Speech2Text(nn.Module):
         _, ids = scanned(self, cache0, blocks)
         return ids
 
+    def teacher_probs(self, xs, xlens, ys, ylens, temperature: float = 1.0):
+        """Teacher-forced soft targets for knowledge distillation
+        (reference speech2text.py:347-367): [B, U+1, V] probabilities."""
+        eouts, _ = self.encode(xs, xlens, "ys", True)
+        ex, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+        _, obs = self.dec_fwd(ex, el, ys, ylens, True, return_logits=True)
+        return jax.nn.softmax(
+            obs["logits"].astype(jnp.float32) / temperature, axis=-1)
+
     def __call__(self, xs, xlens, ys, ylens, ys_sub1=None, ylens_sub1=None,
                  ys_sub2=None, ylens_sub2=None, task: str = "all",
-                 deterministic: bool = True):
-        """Returns (total loss, observation dict)."""
+                 deterministic: bool = True, teacher_probs=None):
+        """Returns (total loss, observation dict). ``teacher_probs``:
+        [B, U+1, V] soft targets (distillation, reference las.py:771-774)."""
         eouts, _ = self.encode(xs, xlens, task, deterministic)
         loss = jnp.zeros((), jnp.float32)
         obs: dict[str, Any] = {}
@@ -159,6 +176,9 @@ class Speech2Text(nn.Module):
                         self.ctc.trigger_points(ex, el, ys, ylens))
                 kw = {"trigger_points": trigger_points} \
                     if trigger_points is not None else {}
+                if teacher_probs is not None:
+                    kw["teacher_probs"] = teacher_probs
+                    kw["distillation_weight"] = self.distillation_weight
                 loss_att, obs_att = self.dec_fwd(
                     ex, el, ys, ylens, deterministic, **kw)
                 loss += self.fwd_weight * loss_att
@@ -253,4 +273,16 @@ def build_speech2text(args) -> Speech2Text:
         specaug_adaptive_number_ratio=g("adaptive_number_ratio", 0.0),
         specaug_adaptive_size_ratio=g("adaptive_size_ratio", 0.0),
         input_noise_std=g("input_noise_std", 0.0),
+        ssn=_build_ssn(g),
+        distillation_weight=g("distillation_weight", 0.0) or
+        (0.5 if g("teacher", "") else 0.0),
     )
+
+
+def _build_ssn(g):
+    if not g("sequence_summary_network", False):
+        return None
+    from ..frontends.sequence_summary import SequenceSummaryNetwork
+    return SequenceSummaryNetwork(n_units=g("ssn_n_units", 256),
+                                  n_layers=g("ssn_n_layers", 3),
+                                  dropout=g("dropout_in", 0.0))

@@ -49,8 +49,17 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to ``dtype`` (ints untouched)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
 def make_train_step(model, tx, mesh: Mesh | None = None,
-                    donate: bool = True, weight_noise_std: float = 0.0):
+                    donate: bool = True, weight_noise_std: float = 0.0,
+                    compute_dtype=None):
     """Build the jitted (sharded) training step.
 
     step(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale=1.0)
@@ -63,10 +72,15 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
     the EpochController's decayed lr reaches the jitted step without
     rebuilding the optimizer (reference mutates optimizer.param_groups lr,
     lr_scheduler.py:131-225).
+    ``compute_dtype``: mixed-precision policy (TPU-native replacement for
+    the reference's AMP/apex O-levels, train.py:235-254). When set (e.g.
+    jnp.bfloat16), params and inputs are cast to it inside the loss only —
+    master params, optimizer state, and gradients stay f32; losses,
+    softmaxes, and LayerNorm statistics upcast to f32 internally.
     """
     import optax
 
-    def step(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale):
+    def step(params, opt_state, rng, batch, lr_scale):
         def loss_fn(p):
             if weight_noise_std > 0:
                 nkey = jax.random.fold_in(rng, 2)
@@ -76,12 +90,17 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
                     x + weight_noise_std * jax.random.normal(
                         k, x.shape, x.dtype)
                     for x, k in zip(leaves, keys)])
+            b = dict(batch)
+            if compute_dtype is not None:
+                p = cast_floating(p, compute_dtype)
+                b["xs"] = b["xs"].astype(compute_dtype)
             loss, obs = model.apply(
-                {"params": p}, xs, xlens, ys, ylens, deterministic=False,
-                rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)})
-            scalars = {k: v for k, v in obs.items()
+                {"params": p}, deterministic=False,
+                rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)},
+                **b)
+            scalars = {k: v.astype(jnp.float32) for k, v in obs.items()
                        if hasattr(v, "ndim") and v.ndim == 0}
-            return loss, scalars
+            return loss.astype(jnp.float32), scalars
         (loss, scalars), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -99,19 +118,31 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         data = batch_sharding(mesh)
         jitted = jax.jit(
             step,
-            in_shardings=(repl, repl, repl, data, data, data, data, repl),
+            in_shardings=(repl, repl, repl, data, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1) if donate else (),
         )
 
-    def call(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale=1.0):
-        return jitted(params, opt_state, rng, xs, xlens, ys, ylens,
+    def call(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale=1.0,
+             **sub_labels):
+        """sub_labels: optional ys_sub1/ylens_sub1/ys_sub2/ylens_sub2 for
+        hierarchical MTL (reference collate, asr/build.py:94-103)."""
+        batch = {"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens}
+        batch.update({k: v for k, v in sub_labels.items() if v is not None})
+        return jitted(params, opt_state, rng, batch,
                       jnp.asarray(lr_scale, jnp.float32))
 
+    def lower(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale):
+        return jitted.lower(
+            params, opt_state, rng,
+            {"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens}, lr_scale)
+
+    call._lower = lower  # AOT lowering access (bench cost analysis)
     return call
 
 
-def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None):
+def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None,
+                        compute_dtype=None):
     """Training step with Random State Passing: the RNN-encoder carry from
     the previous batch is re-used with probability ``rsp_prob`` (reference
     rnn.py:323-327), else reset to zeros.
@@ -125,15 +156,21 @@ def make_rsp_train_step(model, tx, rsp_prob: float, mesh: Mesh | None = None):
         use = jax.random.bernoulli(jax.random.fold_in(rng, 3), rsp_prob)
         carry_in = jax.tree.map(
             lambda c: jnp.where(use, c, jnp.zeros_like(c)), carry)
+        if compute_dtype is not None:
+            carry_in = cast_floating(carry_in, compute_dtype)
 
         def loss_fn(p):
+            xs_c = xs
+            if compute_dtype is not None:
+                p = cast_floating(p, compute_dtype)
+                xs_c = xs.astype(compute_dtype)
             loss, obs, new_carry = model.apply(
-                {"params": p}, xs, xlens, ys, ylens, carry_in, False,
+                {"params": p}, xs_c, xlens, ys, ylens, carry_in, False,
                 rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)},
                 method=model.forward_with_carry)
-            scalars = {k: v for k, v in obs.items()
+            scalars = {k: v.astype(jnp.float32) for k, v in obs.items()
                        if hasattr(v, "ndim") and v.ndim == 0}
-            return loss, (scalars, new_carry)
+            return loss.astype(jnp.float32), (scalars, new_carry)
 
         (loss, (scalars, new_carry)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

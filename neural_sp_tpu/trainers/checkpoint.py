@@ -24,14 +24,23 @@ def _path(save_dir: str, epoch: int) -> str:
 
 def save_checkpoint(save_dir: str, epoch: int, params, opt_state=None,
                     controller_state: dict | None = None,
-                    keep_epochs: list[int] | None = None):
-    """Save and optionally GC checkpoints not in ``keep_epochs``."""
+                    keep_epochs: list[int] | None = None,
+                    sub_step: int | None = None):
+    """Save and optionally GC checkpoints not in ``keep_epochs``.
+    ``sub_step``: sub-epoch checkpoint suffix (MBR training,
+    reference train.py:489-504)."""
     ckptr = ocp.PyTreeCheckpointer()
     payload = {"params": params}
     if opt_state is not None:
         payload["opt_state"] = opt_state
     if controller_state is not None:
         payload["controller"] = controller_state
+    if sub_step is not None:
+        path = os.path.join(save_dir, f"ckpt.epoch-{epoch}-step-{sub_step}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, payload)
+        return
     path = _path(save_dir, epoch)
     if os.path.exists(path):
         shutil.rmtree(path)

@@ -115,3 +115,75 @@ def test_parse_cli_multi_value_and_bare_flags():
     assert args.recog_sets == ["a.tsv", "b.tsv"]
     assert args.recog_length_norm is True
     assert args.beam == 4
+
+
+@pytest.mark.slow
+def test_distillation_pipeline(asr_exp, corpus, tmp_path):
+    """Teacher-student training (reference speech2text.py:347-367 +
+    train.py teacher args): a fresh student trains against the asr_exp
+    teacher's soft targets; loss stays finite and checkpoints appear."""
+    exp = str(tmp_path / "student")
+    save_dir = asr_train.main([
+        "--config", os.path.join(asr_exp, "conf.yml"),
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", exp,
+        "--teacher", asr_exp, "--distillation_weight", "0.5",
+        "--n_epochs", "1", "--resume", ""])
+    assert os.path.exists(os.path.join(save_dir, "ckpt.epoch-1"))
+    import csv
+    with open(os.path.join(save_dir, "history.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and np.isfinite(float(rows[-1]["dev_loss_mean"]))
+
+
+@pytest.mark.slow
+def test_mbr_training_pipeline(asr_exp, corpus, tmp_path):
+    """MBR fine-tuning (reference train.py:489-504 + las.py:507-616):
+    resume the trained model, run one MBR epoch with n-best WER risks and
+    sub-epoch checkpoints."""
+    exp = str(tmp_path / "mbr")
+    import shutil
+    os.makedirs(exp, exist_ok=True)
+    save_dir = asr_train.main([
+        "--config", os.path.join(asr_exp, "conf.yml"),
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", exp,
+        "--resume", os.path.join(asr_exp, "ckpt.epoch-2"),
+        "--n_epochs", "3", "--mbr_training", "true",
+        "--mbr_start_epoch", "3", "--mbr_nbest", "2",
+        "--mbr_ckpt_interval", "1"])
+    assert os.path.exists(os.path.join(save_dir, "ckpt.epoch-3"))
+    subs = [d for d in os.listdir(save_dir) if "-step-" in d]
+    assert subs, "sub-epoch MBR checkpoints missing"
+
+
+@pytest.mark.slow
+def test_asr_eval_cli_second_pass_and_oracle(asr_exp, lm_exp, corpus,
+                                             tmp_path):
+    """Second-pass LM rescoring + oracle WER through the eval CLI
+    (reference bin/asr/eval.py:64-79)."""
+    corpus_char_lm = lm_train.main([
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir",
+        str(tmp_path / "lm_char"), "--lm_type", "lstm", "--unit", "char",
+        "--n_units", "24", "--n_layers", "1", "--emb_dim", "12",
+        "--batch_size", "4", "--bptt", "10", "--n_epochs", "1",
+        "--lr", "3e-3"])
+    results = asr_eval.main([
+        "--recog_model", asr_exp,
+        "--recog_sets", corpus["test"],
+        "--recog_beam_width", "3", "--recog_n_best", "3",
+        "--recog_lm_second", corpus_char_lm,
+        "--recog_lm_second_weight", "0.2",
+        "--recog_lm_bwd", corpus_char_lm,
+        "--recog_lm_bwd_weight", "0.1",
+        "--recog_dir", str(tmp_path)])
+    m = list(results.values())[0]
+    assert m["n_utts"] == 4 and np.isfinite(m["wer"])
+    oracle = asr_eval.main([
+        "--recog_model", asr_exp,
+        "--recog_sets", corpus["test"],
+        "--recog_beam_width", "3", "--recog_oracle", "true",
+        "--recog_dir", str(tmp_path)])
+    mo = list(oracle.values())[0]
+    assert mo["oracle_wer"] <= m["wer"] + 1e-9

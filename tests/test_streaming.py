@@ -221,3 +221,96 @@ def test_decode_streaming_device_matches_greedy():
     off = sess.decode_ctc_greedy(x[None], np.asarray([30]))
     assert stats["n_frames"] == 30
     assert hyp_dev == off[0], (hyp_dev, off[0])
+
+
+def test_decode_streaming_attention_mocha_beam():
+    """Block-synchronous MoChA attention beam (reference
+    las.py:1492-1706) reproduces the OFFLINE hard-MoChA beam bit-for-bit:
+    the streaming path keeps the full accumulated encoder buffer, so with
+    an always-firing monotonic energy (init_r=+4) both searches see
+    identical boundaries and scores."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+
+    args = SimpleNamespace(
+        enc_type="uni_transformer", input_dim=80, enc_n_layers=2,
+        transformer_d_model=32, transformer_d_ff=64, transformer_n_heads=2,
+        transformer_enc_pe_type="relative", lc_chunk_size_left=16,
+        lc_chunk_size_current=8, lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=32, dec_n_layers=1, emb_dim=16,
+        dec_bottleneck_dim=32, attn_type="mocha", attn_dim=32,
+        mocha_chunk_size=4, vocab=19, ctc_weight=0.0, lsm_prob=0.0,
+        mocha_init_r=4.0)
+    model = build_speech2text(args)
+    feats = np.random.default_rng(3).standard_normal(
+        (42, 80)).astype(np.float32)
+    v = model.init(RNG, jnp.asarray(feats)[None], jnp.asarray([42]),
+                   jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    sess = Speech2TextSession(
+        model, v["params"],
+        DecodeConfig(beam_width=4, max_len_ratio=0.3))
+    hyp_stream, stats = sess.decode_streaming(feats)
+    assert stats["n_frames"] == len(feats)
+    assert len(hyp_stream) > 0
+    assert len(stats["boundaries"]) == len(hyp_stream)
+    # boundaries must be monotonically non-decreasing (hard MoChA)
+    assert all(b2 >= b1 for b1, b2 in
+               zip(stats["boundaries"], stats["boundaries"][1:]))
+    # offline hard-MoChA beam over the same (mask-mode) encoder
+    off = sess.decode_attention_beam(feats[None], np.asarray([len(feats)]))
+    assert hyp_stream == off[0], (hyp_stream, off[0])
+
+
+def test_decode_streaming_attention_parks_without_boundary():
+    """Untrained monotonic energy (init_r=-4) never fires: every
+    hypothesis is parked block after block (reference hyps_nobd,
+    las.py:1534-1560) and the stream ends with an empty transcript —
+    no crash, no spurious tokens."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="uni_transformer", input_dim=12, enc_n_layers=1,
+        transformer_d_model=16, transformer_d_ff=32, transformer_n_heads=2,
+        transformer_enc_pe_type="relative", lc_chunk_size_left=8,
+        lc_chunk_size_current=4, lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=16, dec_n_layers=1, emb_dim=8,
+        dec_bottleneck_dim=16, attn_type="mocha", attn_dim=16,
+        mocha_chunk_size=1, vocab=9, ctc_weight=0.0, mocha_init_r=-30.0)
+    model = build_speech2text(args)
+    x = np.random.default_rng(0).standard_normal((24, 12)).astype(np.float32)
+    v = model.init(RNG, jnp.asarray(x)[None], jnp.asarray([24]),
+                   jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    sess = Speech2TextSession(model, v["params"], DecodeConfig(beam_width=3))
+    hyp, stats = sess.decode_streaming(x)
+    assert hyp == []
+    assert stats["boundaries"] == []
+
+
+def test_decode_streaming_attention_with_ctc_and_lm():
+    """Streaming MoChA beam composes with joint CTC prefix scoring across
+    chunks (extend_state) — smoke: runs, returns a finite-score hyp."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="uni_transformer", input_dim=12, enc_n_layers=1,
+        transformer_d_model=16, transformer_d_ff=32, transformer_n_heads=2,
+        transformer_enc_pe_type="relative", lc_chunk_size_left=8,
+        lc_chunk_size_current=4, lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=16, dec_n_layers=1, emb_dim=8,
+        dec_bottleneck_dim=16, attn_type="mocha", attn_dim=16,
+        mocha_chunk_size=2, vocab=9, ctc_weight=0.3)
+    model = build_speech2text(args)
+    x = np.random.default_rng(0).standard_normal((40, 12)).astype(np.float32)
+    v = model.init(RNG, jnp.asarray(x)[None], jnp.asarray([40]),
+                   jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    sess = Speech2TextSession(
+        model, v["params"], DecodeConfig(beam_width=3, ctc_weight=0.3))
+    hyp, stats = sess.decode_streaming(x)
+    assert isinstance(hyp, list)
+    assert stats["n_out_frames"] == 40
