@@ -75,6 +75,11 @@ def main(argv=None):
         dict_path_sub2=getattr(args, "dict_sub2", None) or None,
         unit_sub2=getattr(args, "unit_sub2", "char"),
         wp_model_sub2=getattr(args, "wp_model_sub2", None),
+        # MinLT word alignments / CTC forced-alignment triggers (reference
+        # --train_word_alignment / --train_ctc_alignment)
+        word_alignment_dir=getattr(args, "train_word_alignment", None)
+        or None,
+        ctc_alignment_dir=getattr(args, "train_ctc_alignment", None) or None,
         # coarse padding grid: few distinct compiled shapes (TPU-first)
         pad_xlen_multiple=getattr(args, "pad_xlen_multiple", 128),
         pad_ylen_multiple=getattr(args, "pad_ylen_multiple", 32),
@@ -334,7 +339,8 @@ def main(argv=None):
             else:
                 subs = {k: jnp.asarray(batch[k])
                         for k in ("ys_sub1", "ylens_sub1",
-                                  "ys_sub2", "ylens_sub2") if k in batch}
+                                  "ys_sub2", "ylens_sub2",
+                                  "trigger_points") if k in batch}
                 if teacher_fn is not None:
                     subs["teacher_probs"] = teacher_fn(
                         jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),

@@ -37,6 +37,8 @@ def build_dataloader(
     dict_path_sub2: str | None = None,
     unit_sub2: str = "char",
     wp_model_sub2: str | None = None,
+    word_alignment_dir: str | None = None,
+    ctc_alignment_dir: str | None = None,
 ) -> ASRDataLoader:
     dataset = ASRDataset(
         tsv_path=tsv_path, dict_path=dict_path, unit=unit, wp_model=wp_model,
@@ -46,7 +48,9 @@ def build_dataloader(
         dict_path_sub1=dict_path_sub1, unit_sub1=unit_sub1,
         wp_model_sub1=wp_model_sub1,
         dict_path_sub2=dict_path_sub2, unit_sub2=unit_sub2,
-        wp_model_sub2=wp_model_sub2)
+        wp_model_sub2=wp_model_sub2,
+        word_alignment_dir=word_alignment_dir,
+        ctc_alignment_dir=ctc_alignment_dir)
     return ASRDataLoader(
         dataset, batch_size=batch_size, batch_size_type=batch_size_type,
         dynamic_batching=dynamic_batching, bucketing=bucketing, seed=seed,

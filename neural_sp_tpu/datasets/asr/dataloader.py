@@ -67,6 +67,14 @@ def collate(items, pad_xlen_multiple: int = 16, pad_ylen_multiple: int = 8,
                 ylens_s[i] = u
             out[key] = ys_s
             out[f"ylens_{sub}"] = ylens_s
+    if all("trigger_points" in it for it in items):
+        # word/CTC alignment trigger frames, padded with a large sentinel
+        # that the latency loss masks out by ylen (reference build.py:94-103)
+        tp = np.zeros((bs_pad, ymax), np.int32)
+        for i, it in enumerate(items):
+            u = min(len(it["trigger_points"]), ymax)
+            tp[i, :u] = it["trigger_points"][:u]
+        out["trigger_points"] = tp
     return out
 
 
@@ -163,7 +171,11 @@ class ASRDataLoader:
         return items
 
     def _load(self, batch):
-        if self.n_stacks == 1 and self.n_skips == 1 and self.n_splices == 1:
+        if self.n_stacks == 1 and self.n_skips == 1 and \
+                self.n_splices == 1 and \
+                getattr(self.dataset, "word_alignment_converter", None) \
+                is None and not getattr(self.dataset, "ctc_alignment_dir",
+                                        None):
             fast = self._load_native(batch)
             if fast is not None:
                 return fast

@@ -57,6 +57,7 @@ class ASRDataset:
         dict_path_sub2: str | None = None,
         unit_sub2: str = "char",
         wp_model_sub2: str | None = None,
+        word_alignment_dir: str | None = None,
     ):
         # NOTE: the TSV token_id column is unit-specific (the reference writes
         # one TSV per unit). Set use_tsv_token_ids=False to re-tokenize `text`
@@ -94,6 +95,16 @@ class ASRDataset:
             df = df.sort_values("ylen", ascending=short2long, kind="stable")
         self.df = df.reset_index(drop=True)
         self.ctc_alignment_dir = ctc_alignment_dir
+        # word-alignment -> token-boundary triggers for MinLT latency
+        # training (reference dataset.py:248-262 + alignment.py:12-98)
+        self.word_alignment_converter = None
+        self.word_alignment_dir = word_alignment_dir
+        if word_alignment_dir:
+            from ..alignment import WordAlignmentConverter
+            enc = getattr(self.token2idx, "_bpe", None)
+            encode = enc.encode if enc is not None else \
+                (lambda w: list(w))  # char fallback: one piece per char
+            self.word_alignment_converter = WordAlignmentConverter(encode)
 
     def __len__(self):
         return len(self.df)
@@ -129,4 +140,16 @@ class ASRDataset:
             ys_s = self.token_ids_sub(i, sub)
             if ys_s is not None:
                 out[f"ys_{sub}"] = ys_s
+        if self.word_alignment_converter is not None:
+            tp = self.word_alignment_converter(
+                self.word_alignment_dir, row["speaker"], row["utt_id"],
+                row["text"])
+            if tp is not None:
+                out["trigger_points"] = tp
+        elif self.ctc_alignment_dir:
+            from ..alignment import load_ctc_alignment
+            tp = load_ctc_alignment(self.ctc_alignment_dir, row["speaker"],
+                                    row["utt_id"])
+            if tp is not None:
+                out["trigger_points"] = tp
         return out

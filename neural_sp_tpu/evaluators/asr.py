@@ -163,8 +163,88 @@ def eval_char(session, loader, save_dir=None, progress=False):
     return eval_unit(session, loader, "char", save_dir, progress)
 
 
-def eval_word(session, loader, save_dir=None, progress=False):
-    return eval_unit(session, loader, "word", save_dir, progress)
+def resolve_unk_text(hyp_ids, peaks, idx2word, char_path, char_frames,
+                     idx2char, unk_id: int = 1) -> str:
+    """Replace ``<unk>`` word tokens with character substrings recovered
+    from the char-level CTC path, aligned by attention-peak frames
+    (reference ``evaluators/resolving_unk.py`` + word.py wiring).
+
+    char_path/char_frames: collapsed char ids and their first-emission
+    frames. Each <unk> at word position i takes the chars whose frames lie
+    between the midpoints to the neighbouring words' peaks.
+    """
+    words = idx2word(hyp_ids).split()
+    if len(words) != len(hyp_ids):
+        # idx2word may merge; fall back to per-id conversion
+        words = [idx2word([t]) for t in hyp_ids]
+    out = []
+    for i, (tok, w) in enumerate(zip(hyp_ids, words)):
+        if tok != unk_id or not peaks:
+            out.append(w)
+            continue
+        peak = peaks[min(i, len(peaks) - 1)]
+        lo = (peaks[i - 1] + peak) / 2 if i > 0 else -1
+        hi = (peak + peaks[i + 1]) / 2 if i + 1 < len(peaks) else 10**9
+        chars = [idx2char([c]) for c, f in zip(char_path, char_frames)
+                 if lo < f <= hi]
+        repl = "".join(chars).replace(" ", "")
+        out.append(repl if repl else w)
+    return " ".join(out)
+
+
+def eval_word(session, loader, save_dir=None, progress=False,
+              resolving_unk: bool = False, sub1_loader=None):
+    """Word-level WER; ``resolving_unk=True`` recovers <unk> words from the
+    char-level sub1 CTC head aligned by attention peaks (reference
+    resolving_unk.py). ``sub1_loader`` supplies idx2token for the char unit
+    (defaults to the main loader's)."""
+    if not resolving_unk:
+        return eval_unit(session, loader, "word", save_dir, progress)
+    import numpy as np
+    import jax.numpy as jnp
+    from .edit_distance import compute_wer
+    idx2word = loader.idx2token
+    idx2char = (sub1_loader or loader).dataset.idx2token_sub1 \
+        if getattr((sub1_loader or loader).dataset, "idx2token_sub1", None) \
+        else (sub1_loader.idx2token if sub1_loader else None)
+    assert idx2char is not None, \
+        "resolving_unk needs a char-level converter (dict_sub1 or sub1_loader)"
+    assert session.model.ctc_sub1 is not None, \
+        "resolving_unk needs a char-level CTC sub1 head"
+    n_err = n_tok = 0
+    n_utts = 0
+    factor = getattr(session.model.encoder, "subsampling_factor", 1)
+    for batch in loader:
+        eouts_all = session.encode(batch["xs"], batch["xlens"])
+        session._ens_eouts = []
+        key = "ys_sub1" if "ys_sub1" in eouts_all else "ys"
+        lp_sub = np.asarray(session.model.apply(
+            {"params": session.params}, eouts_all[key]["xs"],
+            method=lambda m, e: m.ctc_sub1.log_probs(e)))
+        el_sub = np.asarray(eouts_all[key]["xlens"])
+        for b in range(len(batch["utt_ids"])):
+            session._b_idx = b
+            e = eouts_all["ys"]["xs"][b:b + 1]
+            el = eouts_all["ys"]["xlens"][b:b + 1]
+            best, _ = session._beam_one_las(e, el)
+            peaks = getattr(session, "_last_nbest_peaks", [[]])[0]
+            # char CTC best path with first-emission frames
+            path = np.argmax(lp_sub[b][: el_sub[b]], -1)
+            char_path, char_frames = [], []
+            prev = 0
+            for f, c in enumerate(path):
+                if c != 0 and c != prev:
+                    char_path.append(int(c))
+                    char_frames.append(f)
+                prev = c
+            hyp_text = resolve_unk_text(best, peaks, idx2word,
+                                        char_path, char_frames, idx2char)
+            ref = batch["text"][b].split()
+            _, s, i, d = compute_wer(ref, hyp_text.split())
+            n_err += s + i + d
+            n_tok += len(ref)
+            n_utts += 1
+    return {"wer": 100.0 * n_err / max(n_tok, 1), "n_utts": n_utts}
 
 
 def eval_phone(session, loader, save_dir=None, progress=False):

@@ -52,6 +52,43 @@ class DecodeConfig:
     state_carry_over: bool = False   # speaker-keyed decoder state carry-over
 
 
+def fwd_bwd_attention_merge(nbest_f, peaks_f, hists_f,
+                            nbest_b, peaks_b, hists_b,
+                            peak_tol: int = 2) -> list[int]:
+    """Merge forward and backward decoder n-bests by attention-peak time
+    agreement (reference ``fwd_bwd_attention.py:12-108``): splice a forward
+    prefix with a backward suffix at a token whose attention peaks agree,
+    scoring the splice as fwd-prefix score + bwd-suffix score.
+
+    nbest_b/peaks_b/hists_b are in GENERATION (reversed) order, as produced
+    by ``_beam_one_las(backward=True)``.
+    """
+    cands: list[tuple[float, list[int]]] = []
+    for f, hf in zip(nbest_f, hists_f):
+        if f:
+            cands.append((hf[-1] if hf else -1e30, f))
+    for b, hb in zip(nbest_b, hists_b):
+        if b:
+            cands.append((hb[-1] if hb else -1e30, b[::-1]))
+    for f, pf, hf in zip(nbest_f, peaks_f, hists_f):
+        for b, pb, hb in zip(nbest_b, peaks_b, hists_b):
+            rb = b[::-1]
+            rpb = pb[::-1]
+            L = len(rb)
+            for i in range(min(len(f), len(pf), len(hf))):
+                for j in range(min(L, len(rpb))):
+                    if f[i] != rb[j] or abs(pf[i] - rpb[j]) > peak_tol:
+                        continue
+                    suffix = rb[j + 1:]
+                    # suffix covers generation steps 0..L-j-2
+                    sfx_score = hb[L - j - 2] if j + 1 < L <= len(hb) + 1 \
+                        and L - j - 2 >= 0 else 0.0
+                    cands.append((hf[i] + sfx_score, f[: i + 1] + suffix))
+    if not cands:
+        return nbest_f[0] if nbest_f else []
+    return max(cands, key=lambda c: c[0])[1]
+
+
 class Speech2TextSession:
     """Wraps (model, params) with jitted encode + per-decoder-step fns."""
 
@@ -225,6 +262,17 @@ class Speech2TextSession:
         if not nbest or (self.lm_second is None and self.lm_bwd is None
                          and not use_bwd_dec):
             return nbest[0] if nbest else []
+        if use_bwd_dec:
+            # attention-peak merge of fwd and bwd n-bests
+            # (reference fwd_bwd_attention.py:12-108)
+            f_nbest = nbest
+            f_peaks = getattr(self, "_last_nbest_peaks", [[]] * len(nbest))
+            f_hists = getattr(self, "_last_nbest_hists", [[]] * len(nbest))
+            _, b_nbest = self._beam_one_las(e, el, backward=True)
+            b_peaks = getattr(self, "_last_nbest_peaks", [[]] * len(b_nbest))
+            b_hists = getattr(self, "_last_nbest_hists", [[]] * len(b_nbest))
+            return fwd_bwd_attention_merge(
+                f_nbest, f_peaks, f_hists, b_nbest, b_peaks, b_hists)
         best, best_score = nbest[0], -np.inf
         for i, hyp in enumerate(nbest):
             score = -0.001 * i  # keep original beam ordering as tiebreak
@@ -234,9 +282,6 @@ class Speech2TextSession:
             if self.lm_bwd is not None and conf.lm_bwd_weight > 0:
                 score += conf.lm_bwd_weight * \
                     self.lm_bwd.score_sequence(list(reversed(hyp)))
-            if use_bwd_dec:
-                score += self._tf_score("dec_bwd", e, el, hyp)
-                score += self._tf_score("dec_fwd", e, el, hyp)
             if score > best_score:
                 best, best_score = hyp, score
         return best
@@ -247,9 +292,25 @@ class Speech2TextSession:
         lp = np.asarray(self._ctc_logp(e))[0][: int(el[0])]
         return CTCPrefixScorer(lp)
 
-    def _beam_one_las(self, e, el):
+    def _beam_one_las(self, e, el, backward: bool = False):
+        """``backward=True`` beams the right-to-left decoder head
+        (dec_bwd); hypotheses come out in generation (reversed) order --
+        callers reverse them (fwd-bwd merging, fwd_bwd_attention.py)."""
         conf = self.conf
-        dec: RNNDecoder = self.dec
+        dec: RNNDecoder = self.model.dec_bwd if backward else self.dec
+        if backward and not hasattr(self, "_step_bwd_p"):
+            self._keys_bwd_p = jax.jit(lambda p, e: self.model.apply(
+                {"params": p}, e,
+                method=lambda m, e: m.dec_bwd.precompute_keys(e)))
+            self._step_bwd_p = jax.jit(
+                lambda p, carry, y, kc, e, m: self.model.apply(
+                    {"params": p}, carry, y, kc, e, m,
+                    method=lambda mdl, c, y, kc, e, msk:
+                    mdl.dec_bwd.decode_step(c, y, kc, e, msk)))
+        _keys = (lambda e: self._keys_bwd_p(self.params, e)) if backward \
+            else self._keys
+        _step = (lambda *a: self._step_bwd_p(self.params, *a)) if backward \
+            else self._step
         beam = conf.beam_width
         tmax = e.shape[1]
         max_len = max(int(int(el[0]) * conf.max_len_ratio), 2)
@@ -257,7 +318,7 @@ class Speech2TextSession:
 
         e_t = jnp.repeat(e, beam, axis=0)
         mask = make_pad_mask(jnp.repeat(el, beam, 0), tmax)
-        kc = self._keys(e_t)
+        kc = _keys(e_t)
         carry = dec.init_carry(beam, tmax, e.dtype)
         # speaker-keyed LSTM-state carry-over across utterances
         spk = getattr(self, "_cur_speaker", None)
@@ -293,6 +354,8 @@ class Speech2TextSession:
         ctc_states = [ctc_scorer.initial_state() if ctc_scorer else None] * beam
 
         hyps = [[] for _ in range(beam)]
+        peaks = [[] for _ in range(beam)]   # attention-peak frame per token
+        hists = [[] for _ in range(beam)]   # cumulative score per token
         scores = np.full(beam, -1e30, np.float32)
         scores[0] = 0.0
         scores_ctc = np.zeros(beam, np.float32)
@@ -303,7 +366,7 @@ class Speech2TextSession:
         finished: list[dict] = []
 
         for step_i in range(max_len):
-            carry, logits, aw = self._step(carry, y, kc, e_t, mask)
+            carry, logits, aw = _step(carry, y, kc, e_t, mask)
             logp = np.asarray(jax.nn.log_softmax(
                 conf.softmax_smoothing * logits.astype(jnp.float32), -1))
             V = logp.shape[-1]
@@ -379,7 +442,12 @@ class Speech2TextSession:
             top = np.argpartition(-flat, k)[: beam * 2]
             top = top[np.argsort(-flat[top])]
 
+            aw_host = np.asarray(aw)
+            if aw_host.ndim == 3:   # MoChA/MMA heads -> mean
+                aw_host = aw_host.mean(1)
+            peak_t = np.argmax(aw_host, -1)       # [beam]
             new_hyps, new_scores, new_y, parents = [], [], [], []
+            new_peaks, new_hists = [], []
             new_sctc, new_slm = [], []
             new_ctc_beam = []
             for idx in top:
@@ -389,7 +457,9 @@ class Speech2TextSession:
                     continue
                 if v == EOS:
                     cand = {"hyp": hyps[k] + [EOS], "score": sc,
-                            "score_lm": float(scores_lm[k])}
+                            "score_lm": float(scores_lm[k]),
+                            "peaks": peaks[k] + [int(peak_t[k])],
+                            "hist": hists[k] + [sc]}
                     if conf.state_carry_over:
                         # decoder LSTM state at this hyp's end (reference
                         # carries the BEST hyp's dstates, las.py:1155-1165)
@@ -407,6 +477,8 @@ class Speech2TextSession:
                     finished.append(cand)
                     continue
                 new_hyps.append(hyps[k] + [v])
+                new_peaks.append(peaks[k] + [int(peak_t[k])])
+                new_hists.append(hists[k] + [sc])
                 new_scores.append(sc)
                 new_y.append(v)
                 parents.append(k)
@@ -423,6 +495,8 @@ class Speech2TextSession:
                 break
             while len(new_hyps) < beam:  # pad beam with dead entries
                 new_hyps.append(new_hyps[-1])
+                new_peaks.append(new_peaks[-1])
+                new_hists.append(new_hists[-1])
                 new_scores.append(-1e30)
                 new_y.append(new_y[-1])
                 parents.append(parents[-1])
@@ -443,6 +517,8 @@ class Speech2TextSession:
                 lm_states = [jax.tree.map(lambda x: x, lm_states[p])
                              for p in parents]
             hyps = new_hyps
+            peaks = new_peaks
+            hists = new_hists
             scores = np.asarray(new_scores, np.float32)
             scores_lm = np.asarray(new_slm, np.float32)
             if ctc_scorer is not None:
@@ -452,7 +528,8 @@ class Speech2TextSession:
             y = jnp.asarray(new_y, jnp.int32)
 
         if not finished:
-            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
+            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0]),
+                         "peaks": peaks[0], "hist": hists[0]}]
         finished.sort(key=lambda d: -d["score"])
         if conf.state_carry_over and spk is not None:
             if not hasattr(self, "_spk_states"):
@@ -466,6 +543,16 @@ class Speech2TextSession:
             self._spk_states[spk] = win_cells
         nbest = [[t for t in f["hyp"] if t != EOS]
                  for f in finished[: self.conf.n_best]]
+        # attention-peak frames per emitted token, aligned to the n-best
+        # (fwd-bwd merge fwd_bwd_attention.py:12-108, OOV resolution)
+        self._last_nbest_peaks = [
+            f.get("peaks", [])[: len(nb)]
+            for f, nb in zip(finished[: self.conf.n_best], nbest)]
+        self._last_nbest_scores = [
+            float(f["score"]) for f in finished[: self.conf.n_best]]
+        self._last_nbest_hists = [
+            f.get("hist", [])[: len(nb)]
+            for f, nb in zip(finished[: self.conf.n_best], nbest)]
         return nbest[0], nbest
 
     def _beam_one_transformer(self, e, el):
@@ -591,7 +678,8 @@ class Speech2TextSession:
             y = jnp.asarray(new_y, jnp.int32)
 
         if not finished:
-            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
+            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0]),
+                         "peaks": peaks[0], "hist": hists[0]}]
         finished.sort(key=lambda d: -d["score"])
         nbest = [[t for t in f["hyp"] if t != EOS]
                  for f in finished[: self.conf.n_best]]

@@ -74,19 +74,26 @@ class RelativeMultiheadAttention(nn.Module):
         # content term
         ac = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias[None, None], k)
 
-        # position term against the signed-distance table
+        # position term against the signed-distance table. The distance
+        # alignment is a ONE-HOT MATMUL, not a gather: TPU gathers (and the
+        # scatter in their transpose) run on the scalar unit and serialise
+        # the whole layer — measured 30x whole-encoder slowdown — while the
+        # one-hot contraction rides the MXU and fuses. With clamp_len (the
+        # flagship uses 10) the table is just 2*clamp+1 entries.
+        c = self.clamp_len if self.clamp_len > 0 else klen - 1
         rel = jnp.asarray(
-            _signed_rel_table(klen, self.d_model, self.clamp_len), q.dtype)
+            _signed_rel_table(c + 1, self.d_model, self.clamp_len), q.dtype)
         r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
-                     param_dtype=self.param_dtype)(rel)  # [2K-1, D]
-        r = r.reshape(-1, h, dk)
+                     param_dtype=self.param_dtype)(rel)  # [2c+1, D]
+        nrel = 2 * c + 1
+        r = r.reshape(nrel, h, dk)
         bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
         # query i sits at absolute position i + (klen - tq); distance to key j
         qi = lax.broadcasted_iota(jnp.int32, (tq, klen), 0) + (klen - tq)
         kj = lax.broadcasted_iota(jnp.int32, (tq, klen), 1)
-        idx = (qi - kj) + (klen - 1)  # in [0, 2K-2]
-        bd = jnp.take_along_axis(
-            bd_all, idx[None, None].repeat(h, 1).repeat(bs, 0), axis=-1)
+        idx = jnp.clip(qi - kj, -c, c) + c  # in [0, 2c]
+        onehot = jax.nn.one_hot(idx, nrel, dtype=q.dtype)  # [tq, klen, nrel]
+        bd = jnp.einsum("bhqr,qkr->bhqk", bd_all, onehot)
 
         e = (ac + bd) / jnp.sqrt(jnp.asarray(dk, q.dtype))
         if mask is not None:

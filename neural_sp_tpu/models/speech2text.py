@@ -152,9 +152,14 @@ class Speech2Text(nn.Module):
 
     def __call__(self, xs, xlens, ys, ylens, ys_sub1=None, ylens_sub1=None,
                  ys_sub2=None, ylens_sub2=None, task: str = "all",
-                 deterministic: bool = True, teacher_probs=None):
+                 deterministic: bool = True, teacher_probs=None,
+                 trigger_points=None):
         """Returns (total loss, observation dict). ``teacher_probs``:
-        [B, U+1, V] soft targets (distillation, reference las.py:771-774)."""
+        [B, U+1, V] soft targets (distillation, reference las.py:771-774).
+        ``trigger_points``: [B, U] precomputed boundary frames from word/CTC
+        alignments (MinLT latency training, reference las.py:744-769); when
+        absent, ctc_sync/decot triggers come from in-graph forced alignment.
+        """
         eouts, _ = self.encode(xs, xlens, task, deterministic)
         loss = jnp.zeros((), jnp.float32)
         obs: dict[str, Any] = {}
@@ -166,16 +171,18 @@ class Speech2Text(nn.Module):
                 loss += self.ctc_weight * loss_ctc
                 obs["loss_ctc"] = loss_ctc
             if self.dec_fwd is not None and self.fwd_weight > 0:
-                trigger_points = None
                 needs_trig = (
                     getattr(self.dec_fwd, "latency_metric", "") in
-                    ("ctc_sync", "decot") or
+                    ("ctc_sync", "decot", "minlt") or
                     getattr(self.dec_fwd, "attn_type", "") == "triggered")
-                if needs_trig and self.ctc is not None:
+                if trigger_points is None and needs_trig and \
+                        self.ctc is not None and \
+                        getattr(self.dec_fwd, "latency_metric", "") != \
+                        "minlt":
                     trigger_points = jax.lax.stop_gradient(
                         self.ctc.trigger_points(ex, el, ys, ylens))
                 kw = {"trigger_points": trigger_points} \
-                    if trigger_points is not None else {}
+                    if (trigger_points is not None and needs_trig) else {}
                 if teacher_probs is not None:
                     kw["teacher_probs"] = teacher_probs
                     kw["distillation_weight"] = self.distillation_weight

@@ -35,6 +35,17 @@ def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
     return z
 
 
+def _emit_table(log_probs, z):
+    """emit[t, b, s] = log_probs[b, t, z[b, s]] for ALL t at once, computed
+    as a one-hot MXU contraction. TPU gathers run on the scalar unit and
+    serialise the surrounding graph (measured ~30x whole-encoder slowdown
+    from an analogous 4D gather in rel-PE attention); the one-hot matmul is
+    exact (one 1.0 per row) and rides the MXU."""
+    v = log_probs.shape[-1]
+    onehot = jax.nn.one_hot(z, v, dtype=log_probs.dtype)   # [B, S, V]
+    return jnp.einsum("btv,bsv->tbs", log_probs, onehot)
+
+
 def _logaddexp3(a, b, c):
     m = jnp.maximum(jnp.maximum(a, b), c)
     m_safe = jnp.maximum(m, NEG_INF)
@@ -69,16 +80,16 @@ def ctc_forward_alphas(log_probs, labels, logit_lengths, label_lengths, blank=0)
     z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
     allow_skip = (z != blank) & (z != z_m2)  # [B, S]
 
+    emit_all = _emit_table(log_probs, z)                  # [T, B, S]
     alpha0 = jnp.full((bs, s), NEG_INF, jnp.float32)
-    emit0 = jnp.take_along_axis(log_probs[:, 0], z, axis=1)
+    emit0 = emit_all[0]
     alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
     alpha0 = alpha0.at[:, 1].set(jnp.where(s > 1, emit0[:, 1], NEG_INF))
 
     t_idx = jnp.arange(1, tmax, dtype=jnp.int32)
 
     def step(alpha, xt):
-        t, logp_t = xt
-        emit = jnp.take_along_axis(logp_t, z, axis=1)  # [B, S]
+        t, emit = xt
         a1 = _shift_right(alpha, 1)
         a2 = jnp.where(allow_skip, _shift_right(alpha, 2), NEG_INF)
         new = _logaddexp3(alpha, a1, a2) + emit
@@ -87,8 +98,7 @@ def ctc_forward_alphas(log_probs, labels, logit_lengths, label_lengths, blank=0)
         new = jnp.where(valid, new, alpha)
         return new, alpha
 
-    alpha_last, alphas_hist = lax.scan(
-        step, alpha0, (t_idx, jnp.swapaxes(log_probs[:, 1:], 0, 1)))
+    alpha_last, alphas_hist = lax.scan(step, alpha0, (t_idx, emit_all[1:]))
     alphas = jnp.concatenate(
         [alphas_hist, alpha_last[None]], axis=0)  # [T, B, S]
 
@@ -125,9 +135,10 @@ def _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
 
     beta_T = init_beta(None)
 
+    emit_all = _emit_table(log_probs, z)  # [T, B, S]
+
     def step(beta, xt):
-        t, logp_t = xt  # t runs tmax-1 .. 0; beta is for t+1
-        emit_next = jnp.take_along_axis(logp_t, z, axis=1)  # at frame t+1
+        t, emit_next = xt  # t runs tmax-1 .. 0; beta is for t+1
         b0 = beta + emit_next
         b1 = jnp.pad(b0, ((0, 0), (0, 1)),
                      constant_values=NEG_INF)[:, 1:]
@@ -148,8 +159,7 @@ def _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
         return new, new
 
     t_idx = jnp.arange(tmax - 2, -1, -1, dtype=jnp.int32)
-    _, betas_hist = lax.scan(
-        step, beta_T, (t_idx, jnp.swapaxes(log_probs[:, 1:], 0, 1)[::-1]))
+    _, betas_hist = lax.scan(step, beta_T, (t_idx, emit_all[1:][::-1]))
     betas = jnp.concatenate(
         [betas_hist[::-1], beta_T[None]], axis=0)  # [T, B, S]
     return betas
@@ -226,10 +236,10 @@ def _ctc_nll_bwd(blank, res, g):
     valid = (t_ids < logit_lengths[None, :, None]) & \
         (s_ids <= 2 * label_lengths[None, :, None])
     gamma = jnp.where(valid, gamma, 0.0)
-    # scatter states to vocab
-    grad_lp = jax.vmap(
-        lambda gm, zz: jax.ops.segment_sum(gm.T, zz, num_segments=v).T,
-        in_axes=(1, 0), out_axes=0)(gamma, z)  # [B, T, V]
+    # states -> vocab via one-hot matmul (a scatter would serialise on the
+    # TPU scalar unit; the contraction rides the MXU and is exact)
+    onehot = jax.nn.one_hot(z, v, dtype=gamma.dtype)  # [B, S, V]
+    grad_lp = jnp.einsum("tbs,bsv->btv", gamma, onehot)
     grad_lp = -grad_lp * g[:, None, None]
     return (grad_lp, None, None, None)
 
@@ -251,8 +261,9 @@ def ctc_loss(
 
     Matches torch ``nn.CTCLoss(zero_infinity=True)`` semantics used by the
     reference (ctc.py:97-101): per-utterance sum, averaged over batch by the
-    caller-visible reduction. Infeasible alignments (2U+1 > T) yield 0 loss
-    when ``zero_infinity``.
+    caller-visible reduction. Infeasible alignments (U + #repeats > T — a
+    repeated label needs an intervening blank) yield 0 loss when
+    ``zero_infinity``.
     """
     if use_custom_vjp:
         nll = _ctc_nll_fb(log_probs.astype(jnp.float32),
@@ -261,7 +272,12 @@ def ctc_loss(
         nll, _ = ctc_forward_alphas(
             log_probs, labels, logit_lengths, label_lengths, blank=blank)
     if zero_infinity:
-        feasible = (2 * label_lengths + 1 <= logit_lengths) & (label_lengths > 0)
+        u_idx = jnp.arange(labels.shape[1])[None, :]
+        valid_pos = (u_idx < label_lengths[:, None]) & (u_idx > 0)
+        repeats = jnp.sum(
+            valid_pos & (labels == jnp.roll(labels, 1, axis=1)), axis=1)
+        feasible = (label_lengths + repeats <= logit_lengths) & \
+            (label_lengths > 0)
         nll = jnp.where(feasible, nll, 0.0)
         nll = jnp.where(nll >= -NEG_INF / 2, 0.0, nll)
     if reduction == "none":
@@ -291,14 +307,14 @@ def ctc_forced_align(log_probs, labels, logit_lengths, label_lengths, blank=0):
     z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
     allow_skip = (z != blank) & (z != z_m2)
 
+    emit_all = _emit_table(log_probs, z)
     alpha0 = jnp.full((bs, s), NEG_INF, jnp.float32)
-    emit0 = jnp.take_along_axis(log_probs[:, 0], z, axis=1)
+    emit0 = emit_all[0]
     alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
     alpha0 = alpha0.at[:, 1].set(emit0[:, 1])
 
     def step(alpha, xt):
-        t, logp_t = xt
-        emit = jnp.take_along_axis(logp_t, z, axis=1)
+        t, emit = xt
         a0, a1 = alpha, _shift_right(alpha, 1)
         a2 = jnp.where(allow_skip, _shift_right(alpha, 2), NEG_INF)
         stacked = jnp.stack([a0, a1, a2], axis=0)  # [3, B, S]
@@ -310,8 +326,7 @@ def ctc_forced_align(log_probs, labels, logit_lengths, label_lengths, blank=0):
         return new, bp
 
     t_idx = jnp.arange(1, tmax, dtype=jnp.int32)
-    alpha_last, bps = lax.scan(
-        step, alpha0, (t_idx, jnp.swapaxes(log_probs[:, 1:], 0, 1)))
+    alpha_last, bps = lax.scan(step, alpha0, (t_idx, emit_all[1:]))
     # bps: [T-1, B, S]; bps[t] maps state at time t+1 -> offset at time t.
 
     end = 2 * label_lengths.astype(jnp.int32)

@@ -102,7 +102,8 @@ def test_model_name():
         transformer_d_model=512, dec_type="lstm", ctc_weight=0.3,
         lsm_prob=0.1, optimizer="noam", lr=5.0, batch_size=24000,
         n_freq_masks=2, freq_width=27, time_width=100, n_time_masks=2))
-    assert "conformer" in name and "ctc0.3" in name and "specaug" in name
+    assert "conformer" in name and "ctc0.3" in name
+    assert "27FM2" in name and "100TM2" in name  # SpecAugment tokens
     assert set_lm_name(SimpleNamespace(lm_type="lstm", n_layers=2,
                                        n_units=1024, emb_dim=1024,
                                        bptt=64))

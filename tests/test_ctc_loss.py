@@ -62,16 +62,22 @@ def test_ctc_loss_grad_matches_torch():
 
 
 def test_ctc_infeasible_zeroed():
+    """True CTC feasibility is U + #repeats <= T (a repeated label needs an
+    intervening blank), NOT 2U+1 <= T — torch CTCLoss(zero_infinity=True)
+    gives 9.8287 for [1,2,3,4] @ T=5 and 0.0 for [1,1,1,1] @ T=5 (oracle
+    run); the over-strict rule silently zeroed CTC for the entire flagship
+    batch (U=100 wordpieces, T'=188 frames after x8 subsampling)."""
     rng = np.random.default_rng(2)
     logits = rng.standard_normal((2, 5, 6)).astype(np.float32)
     log_probs = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
-    labels = np.array([[1, 2, 3, 4], [1, 2, 0, 0]], np.int32)
+    labels = np.array([[1, 2, 3, 4], [1, 1, 1, 1]], np.int32)
     out = ctc_loss(jnp.asarray(log_probs), jnp.asarray(labels),
-                   jnp.asarray([5, 5], np.int32), jnp.asarray([4, 2], np.int32),
+                   jnp.asarray([5, 5], np.int32), jnp.asarray([4, 4], np.int32),
                    reduction="none")
-    # first utt: 2*4+1=9 > 5 -> infeasible -> 0
-    assert float(out[0]) == 0.0
-    assert float(out[1]) > 0.0
+    # distinct labels, U=4 <= T=5 -> feasible (torch: 9.8287)
+    np.testing.assert_allclose(float(out[0]), 9.8287, rtol=1e-3)
+    # all-repeats: U + 3 repeats = 7 > 5 -> infeasible -> 0
+    assert float(out[1]) == 0.0
 
 
 def test_forced_align_monotone_and_valid():
