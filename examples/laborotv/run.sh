@@ -1,0 +1,5 @@
+#!/usr/bin/env bash
+# laborotv recipe (reference examples/laborotv/s5/run.sh analog).
+cd "$(dirname "$0")"
+CONF=${CONF:-conf/conformer_las.yaml} UNIT=${UNIT:-wp} \
+exec ../common/run_asr.sh "$@"

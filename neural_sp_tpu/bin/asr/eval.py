@@ -33,13 +33,28 @@ def load_model_for_eval(args):
     n_avg = getattr(args, "recog_n_average", 1)
     last = latest_epoch(save_dir)
     if n_avg > 1 and last is not None:
-        epochs = list(range(max(last - n_avg + 1, 1), last + 1))
         import re
         avail = [int(m.group(1)) for d in os.listdir(save_dir)
                  if (m := re.match(r"ckpt\.epoch-(\d+)$", d))]
-        epochs = sorted(set(epochs) & set(avail)) or avail[-n_avg:]
+        # metric-ranked top-k from the training history (reference
+        # eval_utils.py:33-78 averages the BEST checkpoints, not the last);
+        # falls back to last-n when no history exists
+        epochs = None
+        hist = os.path.join(save_dir, "history.csv")
+        if os.path.exists(hist):
+            import csv
+            rows = [r for r in csv.DictReader(open(hist))
+                    if r.get("dev_loss_mean")]
+            ranked = sorted(
+                (float(r["dev_loss_mean"]), int(r["epoch"])) for r in rows
+                if int(r["epoch"]) in avail)
+            if ranked:
+                epochs = sorted(e for _, e in ranked[:n_avg])
+        if not epochs:
+            epochs = sorted(avail)[-n_avg:]
         params = average_checkpoints(save_dir, epochs)
-        logger.info("averaged %d checkpoints: %s", len(epochs), epochs)
+        logger.info("averaged %d checkpoints (metric top-k): %s",
+                    len(epochs), epochs)
     else:
         path = model_path if os.path.basename(model_path).startswith(
             "ckpt.") else os.path.join(save_dir, f"ckpt.epoch-{last}")

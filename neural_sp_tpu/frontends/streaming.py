@@ -61,17 +61,22 @@ def ctc_reset_point_detection(
     t = len(ctc_topk_ids)
     if n_accum_frames < min_accum_frames:
         return False, -1
-    run = 0
-    saw_spike = False
-    for i in range(t):
-        is_blank = ctc_topk_ids[i] == blank
-        if not is_blank:
-            if ctc_probs is None or \
-                    ctc_probs[i].max() >= spike_threshold:
-                saw_spike = True
-            run = 0
-        else:
-            run += 1
-            if saw_spike and run >= blank_threshold:
-                return True, i
-    return False, -1
+    ids = np.asarray(ctc_topk_ids)
+    is_blank = ids == blank
+    nonblank = ~is_blank
+    if ctc_probs is not None:
+        spike = nonblank & (np.max(np.asarray(ctc_probs), -1)
+                            >= spike_threshold)
+    else:
+        spike = nonblank
+    if not spike.any():
+        return False, -1
+    # vectorised run-length of blanks: run[i] = #consecutive blanks ending i
+    idx = np.arange(t)
+    last_nonblank = np.maximum.accumulate(np.where(nonblank, idx, -1))
+    run = np.where(is_blank, idx - last_nonblank, 0)
+    first_spike = int(np.argmax(spike))
+    fire = (run >= blank_threshold) & (idx > first_spike)
+    if not fire.any():
+        return False, -1
+    return True, int(np.argmax(fire))

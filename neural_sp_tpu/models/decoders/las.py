@@ -53,6 +53,7 @@ class LASStep(nn.Module):
     dropout_emb: float = 0.0
     dropout_att: float = 0.0
     ss_prob: float = 0.0
+    zoneout: float = 0.0   # reference modules/zoneout.py via --zoneout
     # MoChA / MMA (attn_type == "mocha")
     mocha_chunk_size: int = 1
     mocha_n_heads_mono: int = 1
@@ -85,7 +86,9 @@ class LASStep(nn.Module):
             self.projs = [nn.Dense(self.n_projs)
                           for _ in range(self.n_layers)]
         qdim = self.n_projs if self.n_projs > 0 else self.n_units
-        if self.attn_type == "mocha":
+        if self.attn_type == "cif":
+            self.attn = None
+        elif self.attn_type == "mocha":
             from ..modules.mocha import MoChA
             self.attn = MoChA(
                 kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
@@ -115,12 +118,14 @@ class LASStep(nn.Module):
         self.drop = nn.Dropout(self.dropout)
         self.drop_emb = nn.Dropout(self.dropout_emb)
 
-    def __call__(self, carry, y_t, trigger_t, key_cache, values, mask,
-                 deterministic: bool = True):
+    def __call__(self, carry, y_t, trigger_t, ctx_t, key_cache, values,
+                 mask, deterministic: bool = True):
         """carry: (cell_states tuple, aw_prev [B,Tk], ctx_prev [B,D],
         prev_logits [B,V], lm_state); y_t: [B] int token ids;
         trigger_t: [B] per-step attention boundary (triggered attention /
-        DeCoT — pass tmax-1 to disable).
+        DeCoT — pass tmax-1 to disable); ctx_t: [B, D] externally
+        integrated context, consumed when attn_type == "cif" (continuous
+        integrate-and-fire precomputes all contexts, reference cif.py).
         Returns (new_carry, (logits_t [B,V], aw [B,Tk]))."""
         cell_states, aw_prev, ctx_prev, prev_logits, lm_state = carry
         y_in = y_t
@@ -135,6 +140,16 @@ class LASStep(nn.Module):
         douts = []
         for lth in range(self.n_layers):
             st, h = self.cells[lth](cell_states[lth], h)
+            if self.zoneout > 0 and not deterministic:
+                # zoneout (reference modules/zoneout.py:9-46): state elements
+                # keep their previous value w.p. zoneout
+                r1, r2 = jax.random.split(self.make_rng("dropout"))
+                c_old, h_old = cell_states[lth]
+                keep_c = jax.random.bernoulli(r1, self.zoneout, st[0].shape)
+                keep_h = jax.random.bernoulli(r2, self.zoneout, st[1].shape)
+                st = (jnp.where(keep_c, c_old, st[0]),
+                      jnp.where(keep_h, h_old, st[1]))
+                h = st[1]
             new_states.append(st)
             h = self.drop(h, deterministic=deterministic)
             if self.n_projs > 0:
@@ -142,7 +157,10 @@ class LASStep(nn.Module):
             douts.append(h)
 
         query = douts[0]  # dout_score: first-layer output (reference :778)
-        if self.attn_type == "mocha":
+        if self.attn_type == "cif":
+            ctx, aw = ctx_t, aw_prev
+            aw_new = aw_prev
+        elif self.attn_type == "mocha":
             # aw_prev: [B, H_ma, Tk]; hard mode at inference (parity with the
             # reference's train/eval mode switch); trigger_t drives DeCoT
             ctx, alpha, beta = self.attn(
@@ -205,6 +223,7 @@ class RNNDecoder(nn.Module):
     lsm_prob: float = 0.0
     ss_prob: float = 0.0
     backward: bool = False
+    zoneout: float = 0.0
     # MoChA / MMA
     mocha_chunk_size: int = 1
     mocha_n_heads_mono: int = 1
@@ -235,7 +254,7 @@ class RNNDecoder(nn.Module):
             attn_sigmoid_smoothing=self.attn_sigmoid_smoothing,
             bottleneck_dim=self.bottleneck_dim, dropout=self.dropout,
             dropout_emb=self.dropout_emb, dropout_att=self.dropout_att,
-            ss_prob=self.ss_prob,
+            ss_prob=self.ss_prob, zoneout=self.zoneout,
             mocha_chunk_size=self.mocha_chunk_size,
             mocha_n_heads_mono=self.mocha_n_heads_mono,
             mocha_n_heads_chunk=self.mocha_n_heads_chunk,
@@ -250,9 +269,12 @@ class RNNDecoder(nn.Module):
             LASStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=(1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
+            in_axes=(1, 1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
                      nn.broadcast),
             out_axes=1)(**fields, name="step")
+        if self.attn_type == "cif":
+            from ..modules.cif import CIF
+            self.cif = CIF(enc_dim=self.enc_n_units)
         # attention key projection hoisted out of the scan
         if self.attn_type == "mocha":
             h_ma, h_ca = self.mocha_n_heads_mono, self.mocha_n_heads_chunk
@@ -273,6 +295,8 @@ class RNNDecoder(nn.Module):
             self.key_proj = None
 
     def _key_cache(self, eouts):
+        if self.attn_type == "cif":
+            return eouts
         if self.attn_type == "mocha":
             kc = {"mono": self.key_proj_mono(eouts),
                   "value": self.key_proj_value(eouts)}
@@ -321,10 +345,30 @@ class RNNDecoder(nn.Module):
             trig = jnp.minimum(trig + self.trigger_lookahead, tmax - 1)
         else:
             trig = jnp.full((bs, ys_in.shape[1]), tmax - 1, jnp.int32)
+        obs_extra = {}
+        if self.attn_type == "cif":
+            # scaled firing: alphas renormalised so each utterance fires
+            # exactly ylen(+1) times (reference cif.py 'resize' mode)
+            cv, alpha_cif, _, _ = self.cif(eouts, elens, ylens + 1,
+                                           deterministic=deterministic)
+            u1 = ys_in.shape[1]
+            ctx_steps = jnp.pad(
+                cv[:, :u1], ((0, 0), (0, max(u1 - cv.shape[1], 0)), (0, 0)))
+            if self.quantity_loss_weight > 0 and not deterministic:
+                qty = jnp.abs(jnp.sum(alpha_cif, axis=1)
+                              - (ylens + 1).astype(jnp.float32))
+                obs_extra["loss_quantity"] = jnp.mean(qty)
+        else:
+            ctx_steps = jnp.zeros(
+                (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
         carry, (logits, aws) = self.step_scan(
-            carry, ys_in, trig, key_cache, eouts, mask, deterministic)
+            carry, ys_in, trig, ctx_steps, key_cache, eouts, mask,
+            deterministic)
         loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
                                       ignore_index=PAD)
+        if "loss_quantity" in obs_extra:
+            loss = loss + self.quantity_loss_weight * \
+                obs_extra["loss_quantity"]
         if teacher_probs is not None and distillation_weight > 0:
             from ...ops.criterion import distillation
             loss_kd = distillation(logits, teacher_probs, ys_out,
@@ -333,6 +377,7 @@ class RNNDecoder(nn.Module):
                 distillation_weight * loss_kd
         acc = compute_accuracy(logits, ys_out, ignore_index=PAD)
         obs = {"loss_att": loss, "acc_att": acc, "ppl_att": jnp.exp(nll)}
+        obs.update(obs_extra)
 
         if self.attn_type == "mocha" and not deterministic:
             # aws: [B, U+1, H, T] expected alignments
@@ -395,8 +440,16 @@ class RNNDecoder(nn.Module):
         key_cache = self._key_cache(eouts)
         carry = self.init_carry(bs, tmax, eouts.dtype)
         trig = jnp.full((bs, ys_in.shape[1]), tmax - 1, jnp.int32)
+        if self.attn_type == "cif":
+            cv, _, _, _ = self.cif(eouts, elens, ylens + 1)
+            u1 = ys_in.shape[1]
+            ctx_steps = jnp.pad(
+                cv[:, :u1], ((0, 0), (0, max(u1 - cv.shape[1], 0)), (0, 0)))
+        else:
+            ctx_steps = jnp.zeros(
+                (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
         _, (logits, _) = self.step_scan(
-            carry, ys_in, trig, key_cache, eouts, mask, True)
+            carry, ys_in, trig, ctx_steps, key_cache, eouts, mask, True)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         tok_lp = jnp.take_along_axis(
             lp, jnp.maximum(ys_out, 0)[..., None], axis=-1)[..., 0]
@@ -407,8 +460,9 @@ class RNNDecoder(nn.Module):
         """Single decode step (beam search / streaming); same params as the
         training scan (scan over one step)."""
         trig = jnp.full((y_t.shape[0], 1), eouts.shape[1] - 1, jnp.int32)
+        ctx0 = jnp.zeros((y_t.shape[0], 1, self.enc_n_units), eouts.dtype)
         carry, (logits, aws) = self.step_scan(
-            carry, y_t[:, None], trig, key_cache, eouts, mask, True)
+            carry, y_t[:, None], trig, ctx0, key_cache, eouts, mask, True)
         return carry, logits[:, 0], aws[:, 0]
 
     def precompute_keys(self, eouts):
@@ -430,13 +484,22 @@ class RNNDecoder(nn.Module):
         # input each step via the carried argmax by running step-by-step
         # inside one nn.scan: y_t input = previous argmax carried in logits.
         dummy = jnp.zeros((bs, max_len), jnp.int32)
+        if self.attn_type == "cif":
+            # inference firing: UNscaled alphas, contexts consumed in order
+            cv, _, _, n_tok = self.cif(eouts, elens)
+            ctx_in = cv[:, :max_len]
+            ctx_in = jnp.pad(
+                ctx_in, ((0, 0), (0, max_len - ctx_in.shape[1]), (0, 0)))
+        else:
+            ctx_in = jnp.zeros((bs, max_len, self.enc_n_units), eouts.dtype)
 
-        def scan_body(mdl, carry, y_dummy):
+        def scan_body(mdl, carry, xs_t):
+            y_dummy, ctx_t = xs_t
             step_carry, y_prev, done = carry
             trig = jnp.full((y_prev.shape[0], 1), tmax - 1, jnp.int32)
             step_carry, (logits, _) = mdl(
-                step_carry, y_prev[:, None], trig, key_cache, eouts, mask,
-                True)
+                step_carry, y_prev[:, None], trig, ctx_t[:, None],
+                key_cache, eouts, mask, True)
             logits = logits[:, 0]
             y = jnp.argmax(logits, -1).astype(jnp.int32)
             y = jnp.where(done, PAD, y)
@@ -446,7 +509,8 @@ class RNNDecoder(nn.Module):
         scanned = nn.scan(
             scan_body, variable_broadcast="params",
             split_rngs={"params": False}, in_axes=1, out_axes=1)
-        (_, _, _), toks = scanned(self.step_scan, (carry0, y0, done0), dummy)
+        (_, _, _), toks = scanned(self.step_scan, (carry0, y0, done0),
+                                  (dummy, ctx_in))
         lens = jnp.argmax(
             jnp.concatenate([toks == EOS, jnp.ones((bs, 1), bool)], 1),
             axis=1)

@@ -169,13 +169,13 @@ def _use_pallas_fwd() -> bool:
     """Opt-in fused Pallas forward (``ctc.PALLAS_FWD = True``; TPU only —
     CPU needs interpret mode).
 
-    Measured: standalone the fused kernel beats the XLA scan 5.6x
-    (0.84 ms vs 4.7 ms), and values/grads are bit-identical — but INSIDE the
-    flagship training graph it regresses the whole step to ~1.3 s (VMEM
-    pressure of the [T,B,V] + one-hot buffers vs everything else resident;
-    XLA can't overlap around the opaque call). Default stays the scan;
-    making the kernel block/stream its inputs so it composes inside large
-    graphs is the round-2 item (ROADMAP §3)."""
+    NOTE (round 2): the round-1 composition measurements were invalid —
+    timings did not force device sync through the remote-dispatch tunnel,
+    and the feasibility-guard bug zeroed the flagship CTC loss entirely.
+    After hoisting the emit gather out of the scan as a one-hot MXU
+    contraction (``_emit_table``), the XLA scan path is a small fraction of
+    the (real, forced-sync) 98 ms flagship step, so the Pallas kernel stays
+    opt-in with no urgency to flip the default."""
     try:
         return PALLAS_FWD and jax.default_backend() == "tpu"
     except Exception:

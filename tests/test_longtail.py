@@ -127,3 +127,38 @@ def test_backward_beam_and_peak_merge_session():
     assert isinstance(hyps[0], list)
     # peaks were recorded for the n-best
     assert hasattr(sess, "_last_nbest_peaks")
+
+
+def test_cif_attention_training_and_greedy():
+    """CIF wired as attn_type='cif' (reference wires via attn_type;
+    modules/cif.py): teacher-forced loss is finite with a quantity term,
+    grads flow, and greedy decode runs off unscaled integrate-and-fire."""
+    from types import SimpleNamespace
+    import optax
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="blstm", enc_n_units=24, enc_n_layers=1, input_dim=16,
+        dec_type="lstm", dec_n_units=24, dec_n_layers=1, emb_dim=12,
+        dec_bottleneck_dim=24, attn_type="cif", attn_dim=24, vocab=13,
+        ctc_weight=0.0, lsm_prob=0.0, mocha_quantity_loss_weight=0.5)
+    model = build_speech2text(args)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    xlens = jnp.asarray([40, 30])
+    ys = jnp.asarray(rng.integers(4, 13, (2, 6)), jnp.int32)
+    ylens = jnp.asarray([6, 4])
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    loss, obs = model.apply({"params": v["params"]}, xs, xlens, ys, ylens,
+                            deterministic=False, rngs={"dropout": RNG})
+    assert np.isfinite(float(loss))
+    assert "loss_quantity" in obs
+    g = jax.grad(lambda p: model.apply(
+        {"params": p}, xs, xlens, ys, ylens, deterministic=False,
+        rngs={"dropout": RNG})[0])(v["params"])
+    assert np.isfinite(float(optax.global_norm(g)))
+    sess = Speech2TextSession(model, v["params"],
+                              DecodeConfig(beam_width=1, max_len_ratio=0.3))
+    hyps = sess.decode_attention_greedy(np.asarray(xs), np.asarray(xlens))
+    assert isinstance(hyps[0], list)
