@@ -102,7 +102,8 @@ def main(argv=None):
         lm_second_weight=getattr(args, "recog_lm_second_weight", 0.3),
         lm_bwd_weight=getattr(args, "recog_lm_bwd_weight", 0.3),
         fwd_bwd_attention=bool(getattr(args, "recog_fwd_bwd_attention",
-                                       False)))
+                                       False)),
+        device_beam=bool(getattr(args, "recog_device_beam", False)))
     lm_session = build_lm_session(getattr(args, "recog_lm", ""),
                                   args.recog_lm_weight)
 

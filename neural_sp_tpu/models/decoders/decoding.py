@@ -50,6 +50,7 @@ class DecodeConfig:
     lm_bwd_weight: float = 0.0       # backward-LM rescoring
     fwd_bwd_attention: bool = False  # merge fwd/bwd decoder n-bests
     state_carry_over: bool = False   # speaker-keyed decoder state carry-over
+    device_beam: bool = False        # fully on-device batched beam search
 
 
 def fwd_bwd_attention_merge(nbest_f, peaks_f, hists_f,
@@ -212,6 +213,126 @@ class Speech2TextSession:
         toks, lens = np.asarray(toks), np.asarray(lens)
         return [[int(t) for t in toks[b, :lens[b]] if t not in (EOS, PAD)]
                 for b in range(toks.shape[0])]
+
+    # ------------------------------------------------------------------ #
+    def decode_attention_beam_device(self, xs, xlens):
+        """Fully on-device batched beam search (SURVEY §7: fixed-beam-tensor
+        search under jit): the whole eval batch decodes in ONE dispatch —
+        hypotheses live in [B, K, L] tensors, one lax.scan over output
+        steps, beam reorder by gather. The fast path when no LM fusion /
+        joint CTC / ILM / ensemble is requested (those stay in the host
+        session, reference protocol); supports length penalty/norm,
+        eos_threshold, min/max length.
+        """
+        conf = self.conf
+        dec = self.dec
+        assert isinstance(dec, RNNDecoder)
+        eouts = self.encode(xs, xlens)
+        e, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+        bs, tmax, _ = e.shape
+        K = conf.beam_width
+        max_len = max(int(tmax * conf.max_len_ratio), 2)
+
+        if not hasattr(self, "_device_beam_cache"):
+            self._device_beam_cache = {}
+        cache_key = (K, max_len)
+        if cache_key not in self._device_beam_cache:
+            def beam_fn(p, e, el):
+                B = e.shape[0]
+                T = e.shape[1]
+                ebk = jnp.repeat(e, K, axis=0)           # [B*K, T, D]
+                mask = make_pad_mask(jnp.repeat(el, K, 0), T)
+                kc = self.model.apply(
+                    {"params": p}, ebk,
+                    method=lambda m, x: m.dec_fwd.precompute_keys(x))
+                carry = dec.init_carry(B * K, T, e.dtype)
+                NEG = jnp.float32(-1e30)
+                scores0 = jnp.full((B, K), NEG).at[:, 0].set(0.0)
+                toks0 = jnp.full((B, K, max_len), PAD, jnp.int32)
+                y0 = jnp.full((B * K,), EOS, jnp.int32)
+                best_tok0 = jnp.full((B, max_len), PAD, jnp.int32)
+                best_sc0 = jnp.full((B,), NEG)
+                lens0 = jnp.zeros((B, K), jnp.int32)
+
+                def step(state, i):
+                    carry, scores, toks, lens, y, best_tok, best_sc = state
+                    carry2, logits, _ = self.model.apply(
+                        {"params": p}, carry, y, kc, ebk, mask,
+                        method=lambda m, *a: m.dec_fwd.decode_step(*a))
+                    logp = jax.nn.log_softmax(
+                        conf.softmax_smoothing
+                        * logits.astype(jnp.float32), -1)
+                    V = logp.shape[-1]
+                    logp = logp.reshape(B, K, V)
+                    total = scores[:, :, None] + logp
+
+                    # eos gating (reference las.py:1296-1313)
+                    non_eos = logp.at[:, :, EOS].set(NEG)
+                    best_non = jnp.max(non_eos, axis=-1)
+                    ok_eos = (logp[:, :, EOS]
+                              >= conf.eos_threshold * best_non) & \
+                        (i >= min_lens)[:, None]
+                    # finished candidates: eos extension per row
+                    L = lens + 1
+                    fin = total[:, :, EOS]
+                    if conf.length_norm:
+                        fin = fin / jnp.maximum(L, 1)
+                    else:
+                        fin = fin + conf.length_penalty * L
+                    fin = jnp.where(ok_eos, fin, NEG)
+                    k_best = jnp.argmax(fin, axis=1)
+                    sc_best = jnp.take_along_axis(
+                        fin, k_best[:, None], 1)[:, 0]
+                    cand_tok = jnp.take_along_axis(
+                        toks, k_best[:, None, None], 1)[:, 0]
+                    cand_tok = jax.vmap(
+                        lambda tkn, ln: tkn.at[ln].set(EOS))(
+                        cand_tok, jnp.take_along_axis(
+                            lens, k_best[:, None], 1)[:, 0])
+                    upd = sc_best > best_sc
+                    best_sc = jnp.where(upd, sc_best, best_sc)
+                    best_tok = jnp.where(upd[:, None], cand_tok, best_tok)
+
+                    # survivors: non-eos extensions
+                    total = total.at[:, :, EOS].set(NEG)
+                    flat = total.reshape(B, K * V)
+                    top_sc, top_ix = jax.lax.top_k(flat, K)
+                    parent = top_ix // V
+                    tok = (top_ix % V).astype(jnp.int32)
+                    par_flat = (jnp.arange(B)[:, None] * K
+                                + parent).reshape(-1)
+                    carry2 = jax.tree.map(lambda x: x[par_flat], carry2)
+                    toks = jnp.take_along_axis(
+                        toks, parent[:, :, None], 1)
+                    lens2 = jnp.take_along_axis(lens, parent, 1)
+                    toks = jax.vmap(jax.vmap(
+                        lambda tkn, ln, tk: tkn.at[ln].set(tk)))(
+                        toks, lens2, tok)
+                    return (carry2, top_sc, toks, lens2 + 1,
+                            tok.reshape(-1), best_tok, best_sc), ()
+
+                min_lens = (el.astype(jnp.float32)
+                            * conf.min_len_ratio).astype(jnp.int32)
+                state0 = (carry, scores0, toks0, lens0, y0,
+                          best_tok0, best_sc0)
+                state, _ = jax.lax.scan(step, state0,
+                                        jnp.arange(max_len))
+                carry, scores, toks, lens, y, best_tok, best_sc = state
+                # force-finish fallback: best alive row when nothing ended
+                sc_alive = scores[:, 0]
+                if conf.length_norm:
+                    sc_alive = sc_alive / jnp.maximum(lens[:, 0] + 1, 1)
+                use_alive = best_sc <= NEG / 2
+                out_tok = jnp.where(use_alive[:, None],
+                                    toks[:, 0], best_tok)
+                out_sc = jnp.where(use_alive, sc_alive, best_sc)
+                return out_tok, out_sc
+
+            self._device_beam_cache[cache_key] = jax.jit(beam_fn)
+        toks, sc = self._device_beam_cache[cache_key](self.params, e, el)
+        toks = np.asarray(toks)
+        return [[int(t) for t in row if t not in (PAD, EOS)]
+                for row in toks]
 
     # ------------------------------------------------------------------ #
     def decode_attention_beam(self, xs, xlens, speakers=None):
@@ -704,6 +825,16 @@ class Speech2TextSession:
             return self.decode_transducer_greedy(xs, xlens)
         if self.conf.beam_width <= 1 and isinstance(self.dec, RNNDecoder):
             return self.decode_attention_greedy(xs, xlens)
+        conf = self.conf
+        fusion_free = (conf.lm_weight == 0 and conf.ctc_weight == 0
+                       and conf.ilm_weight == 0 and not self.ensemble
+                       and self.lm_second is None and self.lm_bwd is None
+                       and not conf.fwd_bwd_attention
+                       and not conf.state_carry_over)
+        if conf.device_beam and fusion_free and \
+                isinstance(self.dec, RNNDecoder) and \
+                self.dec.attn_type != "cif":
+            return self.decode_attention_beam_device(xs, xlens)
         return self.decode_attention_beam(xs, xlens, speakers=speakers)
 
     # ------------------------------------------------------------------ #

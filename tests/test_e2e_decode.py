@@ -146,3 +146,60 @@ def test_transformer_decoder_beam(corpus):
     hyps = sess.decode_attention_beam(batch["xs"], batch["xlens"])
     assert len(hyps) == len(batch["utt_ids"])
     assert sum(len(h) > 0 for h in hyps) >= 4, hyps
+
+
+def test_device_beam_matches_host_beam():
+    """Fully on-device batched beam (one jit dispatch for the whole batch)
+    reproduces the host session beam when no fusion features are active
+    (SURVEY §7 fixed-beam-tensor search)."""
+    from types import SimpleNamespace
+    import optax
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="blstm", enc_n_units=24, enc_n_layers=1, input_dim=80,
+        dec_type="lstm", dec_n_units=24, dec_n_layers=1, emb_dim=12,
+        dec_bottleneck_dim=24, attn_type="location", attn_dim=24,
+        attn_conv_width=9, vocab=19, ctc_weight=0.0, lsm_prob=0.0)
+    model = build_speech2text(args)
+
+    from neural_sp_tpu.utils.ci_corpus import make_ci_corpus
+    import tempfile
+    from neural_sp_tpu.datasets.asr.build import build_dataloader
+    root = tempfile.mkdtemp()
+    paths = make_ci_corpus(root, n_train=8, n_dev=2, n_test=2, max_words=2,
+                           seed=5)
+    loader = build_dataloader(paths["train"], paths["dict_char"],
+                              unit="char", batch_size=8,
+                              pad_xlen_multiple=512, pad_ylen_multiple=16)
+    batch = next(iter(loader))
+    xs, xlens = jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"])
+    ys, ylens = jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"])
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    tx = optax.adam(3e-3)
+    opt = tx.init(v["params"])
+
+    @jax.jit
+    def step(p, o):
+        loss, g = jax.value_and_grad(lambda p: model.apply(
+            {"params": p}, xs, xlens, ys, ylens)[0])(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    p = v["params"]
+    for _ in range(120):
+        p, opt, _ = step(p, opt)
+
+    sess = Speech2TextSession(model, p, DecodeConfig(beam_width=4))
+    host = sess.decode_attention_beam(batch["xs"], batch["xlens"])
+    dev = sess.decode_attention_beam_device(batch["xs"], batch["xlens"])
+    n_match = sum(h == d for h, d in zip(host, dev))
+    # identical search space; allow one edge-case divergence from the host
+    # early-stop heuristic
+    assert n_match >= len(host) - 1, (host, dev)
+    # dispatch honours the device_beam flag
+    sess2 = Speech2TextSession(
+        model, p, DecodeConfig(beam_width=4, device_beam=True))
+    via_decode = sess2.decode(batch["xs"], batch["xlens"])
+    assert via_decode == dev
