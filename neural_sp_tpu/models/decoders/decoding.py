@@ -1290,17 +1290,55 @@ class Speech2TextSession:
         conf = self.conf
         _, joint = self._rnnt_fns()
         n_exp = 1 if version == "mono" else max_exp
+        kpad = conf.beam_width  # fixed joint batch -> one compiled shape
+
+        def ensure_states(prefixes):
+            """One batched pred-net dispatch for all uncached prefixes
+            (their parents are always cached beam entries)."""
+            pred, _ = self._rnnt_fns()
+            missing = [p for p in prefixes
+                       if p not in pred_cache and p and
+                       p[:-1] in pred_cache]
+            if not missing:
+                return
+            n = len(missing)
+            carries = [pred_cache[p[:-1]][1] for p in missing]
+            ys = [[p[-1]] for p in missing]
+            while len(carries) < kpad:
+                carries.append(carries[-1])
+                ys.append(ys[-1])
+            carries, ys = carries[:kpad], ys[:kpad]
+            carry_b = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, 0), *carries)
+            po, nc = pred(jnp.asarray(ys, jnp.int32), carry_b)
+            for i, p in enumerate(missing[:kpad]):
+                pred_cache[p] = (po[i:i + 1, 0],
+                                 jax.tree.map(lambda x: x[i:i + 1], nc))
+
+        def joint_logps(et, prefixes):
+            """One joint dispatch for ALL beam prefixes (the reference
+            batchfies the prediction net the same way,
+            rnn_transducer.py:549-590). Returns [len(prefixes), V]."""
+            ensure_states(prefixes)
+            pts = [self._pred_state(p, pred_cache)[0] for p in prefixes]
+            n = len(pts)
+            while len(pts) < kpad:   # pad to the compiled batch
+                pts.append(pts[-1])
+            pt = jnp.concatenate(pts[:kpad], axis=0)
+            lg = joint(jnp.repeat(et, pt.shape[0], 0), pt)
+            return np.asarray(jax.nn.log_softmax(
+                lg.astype(jnp.float32), -1))[:n]
+
         for t in range(e_frames.shape[0]):
             et = jnp.asarray(e_frames[t:t + 1])
             next_beam: dict = {}
             cur = dict(beam)
             for _ in range(n_exp):
                 expansions: dict = {}
-                for prefix, sc in cur.items():
-                    pt, _ = self._pred_state(prefix, pred_cache)
-                    logits = joint(et, pt)
-                    lp = np.asarray(jax.nn.log_softmax(
-                        logits.astype(jnp.float32), -1))[0]
+                prefixes = list(cur.keys())[:kpad]
+                lps = joint_logps(et, prefixes)
+                for prefix, lp in zip(prefixes, lps):
+                    sc = cur[prefix]
                     # blank: hyp survives to the next frame
                     b_sc = sc + float(lp[BLANK])
                     next_beam[prefix] = np.logaddexp(

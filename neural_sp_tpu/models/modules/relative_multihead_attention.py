@@ -74,26 +74,46 @@ class RelativeMultiheadAttention(nn.Module):
         # content term
         ac = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias[None, None], k)
 
-        # position term against the signed-distance table. The distance
-        # alignment is a ONE-HOT MATMUL, not a gather: TPU gathers (and the
-        # scatter in their transpose) run on the scalar unit and serialise
-        # the whole layer — measured 30x whole-encoder slowdown — while the
-        # one-hot contraction rides the MXU and fuses. With clamp_len (the
-        # flagship uses 10) the table is just 2*clamp+1 entries.
-        c = self.clamp_len if self.clamp_len > 0 else klen - 1
-        rel = jnp.asarray(
-            _signed_rel_table(c + 1, self.d_model, self.clamp_len), q.dtype)
-        r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
-                     param_dtype=self.param_dtype)(rel)  # [2c+1, D]
-        nrel = 2 * c + 1
-        r = r.reshape(nrel, h, dk)
-        bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
-        # query i sits at absolute position i + (klen - tq); distance to key j
-        qi = lax.broadcasted_iota(jnp.int32, (tq, klen), 0) + (klen - tq)
-        kj = lax.broadcasted_iota(jnp.int32, (tq, klen), 1)
-        idx = jnp.clip(qi - kj, -c, c) + c  # in [0, 2c]
-        onehot = jax.nn.one_hot(idx, nrel, dtype=q.dtype)  # [tq, klen, nrel]
-        bd = jnp.einsum("bhqr,qkr->bhqk", bd_all, onehot)
+        # position term. NEVER a gather here: TPU gathers (and the scatter
+        # in their transpose) run on the scalar unit and serialise the
+        # whole layer — measured 30x whole-encoder slowdown. Two gather-free
+        # alignments:
+        #   * clamp_len > 0 (the flagship uses 10): distances live in a
+        #     (2c+1)-entry table; align with a small one-hot MXU matmul;
+        #   * unclamped: full (2K-1)-entry table; the one-hot would blow up
+        #     compile-time constant folding ([Q,K,2K-1]), so use the classic
+        #     pad-flatten-reshape SKEW (pure reshapes/slices).
+        if 0 < self.clamp_len < klen - 1:
+            c = self.clamp_len
+            rel = jnp.asarray(
+                _signed_rel_table(c + 1, self.d_model, c), q.dtype)
+            r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
+                         param_dtype=self.param_dtype)(rel)  # [2c+1, D]
+            r = r.reshape(2 * c + 1, h, dk)
+            bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
+            qi = lax.broadcasted_iota(jnp.int32, (tq, klen), 0) + (klen - tq)
+            kj = lax.broadcasted_iota(jnp.int32, (tq, klen), 1)
+            idx = jnp.clip(qi - kj, -c, c) + c
+            onehot = jax.nn.one_hot(idx, 2 * c + 1, dtype=q.dtype)
+            bd = jnp.einsum("bhqr,qkr->bhqk", bd_all, onehot)
+        else:
+            rel = jnp.asarray(
+                _signed_rel_table(klen, self.d_model, self.clamp_len),
+                q.dtype)
+            r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
+                         param_dtype=self.param_dtype)(rel)  # [2K-1, D]
+            nrel = 2 * klen - 1
+            r = r.reshape(nrel, h, dk)
+            bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
+            # bd[b,h,q,j] = bd_all[b,h,q, (q + off - j) + (K-1)],
+            # off = klen - tq: flatten rows, pad one slot per row, re-chop
+            # with row length R+1 — the diagonal alignment becomes a
+            # contiguous slice + reverse.
+            off = klen - tq
+            flat = bd_all.reshape(bs, h, tq * nrel)
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, tq)))
+            skew = flat.reshape(bs, h, tq, nrel + 1)
+            bd = skew[..., off: off + klen][..., ::-1]
 
         e = (ac + bd) / jnp.sqrt(jnp.asarray(dk, q.dtype))
         if mask is not None:
