@@ -26,6 +26,9 @@ wp = int(os.environ.get("WP_VOCAB", 10000))
 cmvn = None
 splits = [s for s in sorted(os.listdir(data))
           if os.path.isfile(os.path.join(data, s, "wav.scp"))]
+# train FIRST: it builds the dict/wp model and the global CMVN that the
+# other splits reuse
+splits.sort(key=lambda s: (not s.startswith("train"), s))
 wp_model = f"{data}/wp.json" if unit == "wp" else None
 for split in splits:
     d = os.path.join(data, split)

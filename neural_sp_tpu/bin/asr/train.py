@@ -34,6 +34,25 @@ from ...trainers.reporter import Reporter
 logger = logging.getLogger(__name__)
 
 
+def compute_subsampling_factor(args) -> int:
+    """Total encoder time-subsampling from the config (reference
+    bin/train_utils.py:17): conv pooling strides x interlayer subsamples.
+    Drives the CTC length filter and word-alignment trigger scaling."""
+    import re
+    f = 1
+    enc = str(getattr(args, "enc_type", ""))
+    if enc.startswith("conv") and getattr(args, "conv_poolings", ""):
+        for m in re.findall(r"\((\d+)\s*,\s*\d+\)",
+                            str(args.conv_poolings)):
+            f *= max(int(m), 1)
+    sub = getattr(args, "subsample", "")
+    if sub:
+        for tok in str(sub).split("_"):
+            if tok.isdigit():
+                f *= max(int(tok), 1)
+    return f
+
+
 def make_schedule(args):
     if args.optimizer in ("noam", "noam_adam") or \
             getattr(args, "warmup_n_steps", 0) > 0 and \
@@ -62,7 +81,7 @@ def main(argv=None):
         batch_size=args.batch_size, batch_size_type=args.batch_size_type,
         dynamic_batching=args.dynamic_batching,
         min_n_frames=args.min_n_frames, max_n_frames=args.max_n_frames,
-        subsample_factor=1, seed=args.seed,
+        subsample_factor=compute_subsampling_factor(args), seed=args.seed,
         # per-utterance frame stacking / splicing (reference
         # speech2text.py:371-377; host-side here)
         n_stacks=getattr(args, "n_stacks", 1),
@@ -95,9 +114,12 @@ def main(argv=None):
         args.vocab_sub2 = train_set.vocab_sub2
     args.input_dim = int(train_set.dataset.df["xdim"].iloc[0]) \
         if "xdim" in train_set.dataset.df else args.input_dim
-    # frame stacking/splicing widen the feature dim seen by the model
-    args.input_dim *= getattr(args, "n_stacks", 1) * \
-        getattr(args, "n_splices", 1)
+    # frame stacking/splicing widen the feature dim seen by the model:
+    # stacking x n_stacks; splice(n) concatenates +-n context frames
+    # -> x (2n+1) (frontends/splicing.py)
+    args.input_dim *= getattr(args, "n_stacks", 1)
+    if getattr(args, "n_splices", 1) > 1:
+        args.input_dim *= 2 * args.n_splices + 1
 
     model = build_speech2text(args)
     batch0 = next(iter(train_set))
@@ -386,7 +408,8 @@ def main(argv=None):
             opt_state = tx.init(params)
             lr_ref = kw["lr"]
             _phase_steps.clear()
-            step_fn = make_train_step(model, tx, mesh)
+            step_fn = make_train_step(model, tx, mesh,
+                                      compute_dtype=compute_dtype)
             _phase_steps[()] = step_fn
             logger.info("converted to SGD (lr %.2g) at epoch %d",
                         kw["lr"], epoch)

@@ -67,11 +67,16 @@ def collate(items, pad_xlen_multiple: int = 16, pad_ylen_multiple: int = 8,
                 ylens_s[i] = u
             out[key] = ys_s
             out[f"ylens_{sub}"] = ylens_s
-    if all("trigger_points" in it for it in items):
-        # word/CTC alignment trigger frames, padded with a large sentinel
-        # that the latency loss masks out by ylen (reference build.py:94-103)
-        tp = np.zeros((bs_pad, ymax), np.int32)
+    if any("trigger_points" in it for it in items):
+        # word/CTC alignment trigger frames; utterances WITHOUT an
+        # alignment get -1 rows, which the latency loss masks out — a
+        # single uncovered utterance must not drop the key for the whole
+        # batch (that would silently skip the loss and flip the jit
+        # signature between batches)
+        tp = np.full((bs_pad, ymax), -1, np.int32)
         for i, it in enumerate(items):
+            if "trigger_points" not in it:
+                continue
             u = min(len(it["trigger_points"]), ymax)
             tp[i, :u] = it["trigger_points"][:u]
         out["trigger_points"] = tp

@@ -94,6 +94,7 @@ class ASRDataset:
         elif sort_by == "output":
             df = df.sort_values("ylen", ascending=short2long, kind="stable")
         self.df = df.reset_index(drop=True)
+        self.subsample_factor = subsample_factor
         self.ctc_alignment_dir = ctc_alignment_dir
         # word-alignment -> token-boundary triggers for MinLT latency
         # training (reference dataset.py:248-262 + alignment.py:12-98)
@@ -145,7 +146,12 @@ class ASRDataset:
                 self.word_alignment_dir, row["speaker"], row["utt_id"],
                 row["text"])
             if tp is not None:
-                out["trigger_points"] = tp
+                # word alignments are INPUT-frame indices (10 ms); the
+                # latency loss compares encoder-output frames (reference
+                # divides at load, dataset.py:305-314). CTC alignments are
+                # already encoder frames and are NOT divided.
+                tp = np.minimum(tp, max(int(row["xlen"]) - 1, 0))
+                out["trigger_points"] = tp // self.subsample_factor
         elif self.ctc_alignment_dir:
             from ..alignment import load_ctc_alignment
             tp = load_ctc_alignment(self.ctc_alignment_dir, row["speaker"],

@@ -799,8 +799,7 @@ class Speech2TextSession:
             y = jnp.asarray(new_y, jnp.int32)
 
         if not finished:
-            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0]),
-                         "peaks": peaks[0], "hist": hists[0]}]
+            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
         finished.sort(key=lambda d: -d["score"])
         nbest = [[t for t in f["hyp"] if t != EOS]
                  for f in finished[: self.conf.n_best]]
@@ -826,14 +825,19 @@ class Speech2TextSession:
         if self.conf.beam_width <= 1 and isinstance(self.dec, RNNDecoder):
             return self.decode_attention_greedy(xs, xlens)
         conf = self.conf
+        if isinstance(self.dec, RNNDecoder) and \
+                self.dec.attn_type == "cif":
+            # no incremental CIF beam (contexts are integrate-and-fire,
+            # not query-driven); greedy consumes the unscaled firings
+            return self.decode_attention_greedy(xs, xlens)
         fusion_free = (conf.lm_weight == 0 and conf.ctc_weight == 0
                        and conf.ilm_weight == 0 and not self.ensemble
                        and self.lm_second is None and self.lm_bwd is None
                        and not conf.fwd_bwd_attention
-                       and not conf.state_carry_over)
+                       and not conf.state_carry_over
+                       and conf.coverage_penalty == 0)
         if conf.device_beam and fusion_free and \
-                isinstance(self.dec, RNNDecoder) and \
-                self.dec.attn_type != "cif":
+                isinstance(self.dec, RNNDecoder):
             return self.decode_attention_beam_device(xs, xlens)
         return self.decode_attention_beam(xs, xlens, speakers=speakers)
 

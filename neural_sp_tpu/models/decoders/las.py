@@ -140,15 +140,26 @@ class LASStep(nn.Module):
         douts = []
         for lth in range(self.n_layers):
             st, h = self.cells[lth](cell_states[lth], h)
-            if self.zoneout > 0 and not deterministic:
-                # zoneout (reference modules/zoneout.py:9-46): state elements
-                # keep their previous value w.p. zoneout
-                r1, r2 = jax.random.split(self.make_rng("dropout"))
+            if self.zoneout > 0:
+                # classic zoneout (Krueger et al.; reference
+                # modules/zoneout.py — NOTE the reference inverts the
+                # probability, treating it as P(update); here zoneout is
+                # P(keep old), the paper's convention): Bernoulli mask in
+                # training, expectation p*old + (1-p)*new at inference so
+                # eval-time state statistics match the trained regime.
                 c_old, h_old = cell_states[lth]
-                keep_c = jax.random.bernoulli(r1, self.zoneout, st[0].shape)
-                keep_h = jax.random.bernoulli(r2, self.zoneout, st[1].shape)
-                st = (jnp.where(keep_c, c_old, st[0]),
-                      jnp.where(keep_h, h_old, st[1]))
+                if deterministic:
+                    p = self.zoneout
+                    st = (p * c_old + (1 - p) * st[0],
+                          p * h_old + (1 - p) * st[1])
+                else:
+                    r1, r2 = jax.random.split(self.make_rng("dropout"))
+                    keep_c = jax.random.bernoulli(
+                        r1, self.zoneout, st[0].shape)
+                    keep_h = jax.random.bernoulli(
+                        r2, self.zoneout, st[1].shape)
+                    st = (jnp.where(keep_c, c_old, st[0]),
+                          jnp.where(keep_h, h_old, st[1]))
                 h = st[1]
             new_states.append(st)
             h = self.drop(h, deterministic=deterministic)
@@ -349,13 +360,19 @@ class RNNDecoder(nn.Module):
         if self.attn_type == "cif":
             # scaled firing: alphas renormalised so each utterance fires
             # exactly ylen(+1) times (reference cif.py 'resize' mode)
-            cv, alpha_cif, _, _ = self.cif(eouts, elens, ylens + 1,
-                                           deterministic=deterministic)
+            cv, _, _, _ = self.cif(eouts, elens, ylens + 1,
+                                   deterministic=deterministic)
             u1 = ys_in.shape[1]
             ctx_steps = jnp.pad(
                 cv[:, :u1], ((0, 0), (0, max(u1 - cv.shape[1], 0)), (0, 0)))
             if self.quantity_loss_weight > 0 and not deterministic:
-                qty = jnp.abs(jnp.sum(alpha_cif, axis=1)
+                # quantity loss on the UNSCALED alphas — the scaled sum is
+                # ylen+1 by construction, which would zero the loss; the
+                # regulariser must pull the raw firing count toward ylen+1
+                # (reference cif quantity semantics)
+                _, alpha_raw, _, _ = self.cif(
+                    eouts, elens, None, deterministic=deterministic)
+                qty = jnp.abs(jnp.sum(alpha_raw, axis=1)
                               - (ylens + 1).astype(jnp.float32))
                 obs_extra["loss_quantity"] = jnp.mean(qty)
         else:
@@ -403,7 +420,11 @@ class RNNDecoder(nn.Module):
                 valid_tok = (u_tok < ylens[:, None]).astype(jnp.float32)
                 tp_pad = jnp.pad(tp, ((0, 0),
                                       (0, max(aws.shape[1] - tp.shape[1], 0))))
-                lat = jnp.abs(exp_bd - tp_pad[:, :aws.shape[1]]) * valid_tok
+                tp_pad = tp_pad[:, :aws.shape[1]]
+                # -1 rows mark utterances without an alignment (collate
+                # sentinel) — excluded from the latency loss
+                valid_tok = valid_tok * (tp_pad >= 0).astype(jnp.float32)
+                lat = jnp.abs(exp_bd - tp_pad) * valid_tok
                 loss_lat = jnp.sum(lat) / jnp.maximum(jnp.sum(valid_tok), 1.0)
                 loss = loss + self.latency_loss_weight * loss_lat
                 obs["loss_latency"] = loss_lat

@@ -28,11 +28,18 @@ class ZoneoutCell(nn.RNNCellBase):
     @nn.compact
     def __call__(self, carry, inputs):
         new_carry, y = self.cell(carry, inputs)
-        if self.deterministic or (self.zoneout_prob_h == 0.0
-                                  and self.zoneout_prob_c == 0.0):
+        if self.zoneout_prob_h == 0.0 and self.zoneout_prob_c == 0.0:
             return new_carry, y
         c_old, h_old = carry
         c_new, h_new = new_carry
+        if self.deterministic:
+            # eval-time expectation p*old + (1-p)*new (classic zoneout;
+            # the reference's zoneout.py inverts the probability meaning)
+            c = self.zoneout_prob_c * c_old + \
+                (1 - self.zoneout_prob_c) * c_new
+            h = self.zoneout_prob_h * h_old + \
+                (1 - self.zoneout_prob_h) * h_new
+            return (c, h), h
         rng = self.make_rng("dropout")
         r1, r2 = jax.random.split(rng)
         keep_c = jax.random.bernoulli(r1, self.zoneout_prob_c, c_new.shape)

@@ -188,3 +188,31 @@ def test_asr_eval_cli_second_pass_and_oracle(asr_exp, lm_exp, corpus,
         "--recog_dir", str(tmp_path)])
     mo = list(oracle.values())[0]
     assert mo["oracle_wer"] <= m["wer"] + 1e-9
+
+
+@pytest.mark.slow
+def test_asr_eval_cli_streaming(corpus, tmp_path):
+    """--recog_streaming dispatch through the eval CLI (reference
+    evaluators/wordpiece.py:80-84): train a tiny streaming CTC model and
+    run the block-sync streaming evaluation end-to-end."""
+    exp = str(tmp_path / "stream")
+    save_dir = asr_train.main([
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", exp,
+        "--enc_type", "uni_transformer", "--enc_n_layers", "1",
+        "--transformer_d_model", "32", "--transformer_d_ff", "64",
+        "--transformer_n_heads", "2",
+        "--transformer_enc_pe_type", "relative",
+        "--lc_chunk_size_left", "16", "--lc_chunk_size_current", "8",
+        "--lc_chunk_size_right", "0", "--lc_type", "mask",
+        "--dec_type", "lstm", "--ctc_weight", "1.0", "--unit", "char",
+        "--batch_size", "16", "--n_epochs", "1", "--optimizer", "adam",
+        "--lr", "3e-3", "--min_n_frames", "1", "--lsm_prob", "0"])
+    results = asr_eval.main([
+        "--recog_model", save_dir,
+        "--recog_sets", corpus["test"],
+        "--recog_beam_width", "2", "--recog_streaming", "true",
+        "--recog_dir", str(tmp_path)])
+    m = list(results.values())[0]
+    assert m["n_utts"] == 4 and np.isfinite(m["wer"])
+    assert m["rtf"] > 0 and "quantity_rate" in m

@@ -162,3 +162,64 @@ def test_cif_attention_training_and_greedy():
                               DecodeConfig(beam_width=1, max_len_ratio=0.3))
     hyps = sess.decode_attention_greedy(np.asarray(xs), np.asarray(xlens))
     assert isinstance(hyps[0], list)
+
+
+def test_minlt_word_alignment_training(tmp_path):
+    """MinLT latency training end-to-end: word alignments -> dataset
+    trigger_points (input frames / subsample) -> latency loss in the MoChA
+    decoder; utterances without alignments get -1 sentinels that the loss
+    masks out (reference dataset.py:305-314 + las.py:744-769)."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.utils.ci_corpus import make_ci_corpus
+    from neural_sp_tpu.datasets.asr.build import build_dataloader
+    from neural_sp_tpu.models.speech2text import build_speech2text
+
+    root = str(tmp_path)
+    paths = make_ci_corpus(root, n_train=6, n_dev=2, n_test=2, max_words=2,
+                           seed=21)
+    # fabricate word alignments for SOME train utterances
+    import pandas as pd
+    df = pd.read_csv(paths["train"], sep="\t")
+    align_dir = os.path.join(root, "align")
+    for i, row in df.iterrows():
+        if i % 2 == 1:
+            continue  # half the corpus has no alignment -> -1 sentinels
+        spk_dir = os.path.join(align_dir, str(row["speaker"]))
+        os.makedirs(spk_dir, exist_ok=True)
+        words = str(row["text"]).split()
+        dur_s = row["xlen"] / 100.0
+        with open(os.path.join(spk_dir, f"{row['utt_id']}.txt"), "w") as f:
+            for w_i, w in enumerate(words):
+                s = dur_s * w_i / len(words)
+                e = dur_s * (w_i + 1) / len(words)
+                f.write(f"{w} {s:.3f} {e:.3f}\n")
+
+    loader = build_dataloader(
+        paths["train"], paths["dict_char"], unit="char", batch_size=6,
+        word_alignment_dir=align_dir, subsample_factor=2,
+        pad_xlen_multiple=64, pad_ylen_multiple=8)
+    batch = next(iter(loader))
+    assert "trigger_points" in batch
+    tp = batch["trigger_points"]
+    assert (tp == -1).any(), "missing-alignment rows must be -1 sentinels"
+    covered = tp[(tp >= 0).any(axis=1)]
+    assert len(covered) > 0
+    # triggers are encoder frames: <= xlen / subsample
+    assert covered.max() <= batch["xlens"].max() // 2 + 1
+
+    args = SimpleNamespace(
+        enc_type="blstm", enc_n_units=24, enc_n_layers=1, input_dim=80,
+        dec_type="lstm", dec_n_units=24, dec_n_layers=1, emb_dim=12,
+        dec_bottleneck_dim=24, attn_type="mocha", attn_dim=24,
+        mocha_chunk_size=2, vocab=19, ctc_weight=0.0, lsm_prob=0.0,
+        mocha_latency_metric="minlt", mocha_latency_loss_weight=1.0)
+    model = build_speech2text(args)
+    xs = jnp.asarray(batch["xs"]); xlens = jnp.asarray(batch["xlens"])
+    ys = jnp.asarray(batch["ys"]); ylens = jnp.asarray(batch["ylens"])
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    loss, obs = model.apply(
+        {"params": v["params"]}, xs, xlens, ys, ylens,
+        trigger_points=jnp.asarray(tp), deterministic=False,
+        rngs={"dropout": RNG})
+    assert np.isfinite(float(loss))
+    assert "loss_latency" in obs and np.isfinite(float(obs["loss_latency"]))
