@@ -260,8 +260,8 @@ def main(argv=None):
                 over.append((field, 0.0))
         return tuple(over)
 
-    def step_for_epoch(epoch):
-        over = phase_overrides(epoch)
+    def step_for_epoch(epoch, extra_over: tuple = ()):
+        over = phase_overrides(epoch) + extra_over
         if over not in _phase_steps:
             if over:
                 from types import SimpleNamespace
@@ -278,6 +278,26 @@ def main(argv=None):
             else:
                 _phase_steps[over] = step_fn
         return _phase_steps[over]
+
+    # mtl_per_batch (reference train.py MTL scheduling): each batch trains
+    # ONE task, rotating round-robin — main (att+ctc), then each sub head.
+    # Every task is a cached jitted step over the same params with the
+    # other tasks' loss weights zeroed.
+    mtl_tasks: list[tuple] = []
+    if getattr(args, "mtl_per_batch", False):
+        sub1_w = getattr(args, "sub1_weight", 0.0)
+        sub2_w = getattr(args, "sub2_weight", 0.0)
+        main_over = (("sub1_weight", 0.0), ("sub2_weight", 0.0),
+                     ("ctc_weight_sub1", 0.0), ("ctc_weight_sub2", 0.0))
+        mtl_tasks.append(main_over)
+        if sub1_w > 0:
+            mtl_tasks.append((("ctc_weight", 0.0), ("bwd_weight", 0.0),
+                              ("sub1_weight", 1.0), ("sub2_weight", 0.0),
+                              ("ctc_weight_sub2", 0.0)))
+        if sub2_w > 0:
+            mtl_tasks.append((("ctc_weight", 0.0), ("bwd_weight", 0.0),
+                              ("sub1_weight", 0.0), ("sub2_weight", 1.0),
+                              ("ctc_weight_sub1", 0.0)))
 
     # Epoch-level lr decay reaches the jitted step as a runtime multiplier
     # relative to the lr baked into the optimizer at build time (reference
@@ -367,6 +387,11 @@ def main(argv=None):
                     subs["teacher_probs"] = teacher_fn(
                         jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
                         jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))
+                if mtl_tasks:
+                    # one task per batch, round-robin (reference
+                    # mtl_per_batch scheduling)
+                    epoch_step_fn = step_for_epoch(
+                        epoch, mtl_tasks[i % len(mtl_tasks)])
                 params, opt_state, metrics = epoch_step_fn(
                     params, opt_state, key,
                     jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),

@@ -216,3 +216,49 @@ def test_asr_eval_cli_streaming(corpus, tmp_path):
     m = list(results.values())[0]
     assert m["n_utts"] == 4 and np.isfinite(m["wer"])
     assert m["rtf"] > 0 and "quantity_rate" in m
+
+
+@pytest.mark.slow
+def test_asr_eval_cli_ensemble(asr_exp, corpus, tmp_path):
+    """Ensemble decoding through the eval CLI (reference las.py:1219-1237
+    + eval ensemble loading): a second model's per-step log-probs are
+    averaged into the beam."""
+    exp2 = str(tmp_path / "member2")
+    asr_train.main([
+        "--config", os.path.join(asr_exp, "conf.yml"),
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", exp2,
+        "--seed", "7", "--n_epochs", "1", "--resume", ""])
+    results = asr_eval.main([
+        "--recog_model", asr_exp,
+        "--recog_sets", corpus["test"],
+        "--recog_beam_width", "2",
+        "--recog_ensemble", exp2,
+        "--recog_dir", str(tmp_path)])
+    m = list(results.values())[0]
+    assert m["n_utts"] == 4 and np.isfinite(m["wer"])
+
+
+@pytest.mark.slow
+def test_mtl_per_batch_and_sub_task(corpus, tmp_path):
+    """Hierarchical MTL with per-batch task rotation (reference
+    mtl_per_batch): main wp-style head + char sub1 CTC head, one task per
+    batch round-robin."""
+    exp = str(tmp_path / "mtl")
+    save_dir = asr_train.main([
+        "--train_set", corpus["train"], "--dev_set", corpus["dev"],
+        "--dict", corpus["dict_char"], "--model_save_dir", exp,
+        "--enc_type", "blstm", "--enc_n_units", "24", "--enc_n_layers", "1",
+        "--dec_type", "lstm", "--dec_n_units", "24", "--dec_n_layers", "1",
+        "--emb_dim", "12", "--dec_bottleneck_dim", "24", "--attn_dim", "24",
+        "--attn_conv_width", "9", "--unit", "char",
+        "--ctc_weight", "0.3", "--sub1_weight", "0.3",
+        "--ctc_weight_sub1", "0.3", "--dict_sub1", corpus["dict_char"],
+        "--unit_sub1", "char", "--mtl_per_batch", "true",
+        "--batch_size", "8", "--n_epochs", "1", "--optimizer", "adam",
+        "--lr", "3e-3", "--min_n_frames", "1", "--lsm_prob", "0"])
+    assert os.path.exists(os.path.join(save_dir, "ckpt.epoch-1"))
+    import csv
+    with open(os.path.join(save_dir, "history.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and np.isfinite(float(rows[-1]["dev_loss_mean"]))
