@@ -76,3 +76,67 @@ class SyncBidirMultiheadAttention(nn.Module):
         cv_fwd = cv_fwd_h + self.future_weight * jnp.tanh(cv_fwd_f)
         cv_bwd = cv_bwd_h + self.future_weight * jnp.tanh(cv_bwd_f)
         return cv_fwd, cv_bwd, aw_fwd_h, aw_fwd_f, aw_bwd_h, aw_bwd_f
+
+
+class SyncBidirTransformerDecoderBlock(nn.Module):
+    """Pre-norm decoder layer decoding L2R and R2L streams simultaneously
+    (reference ``modules/transformer.py:271-400``): shared-weight
+    sync-bidir self-attention over both streams, then encoder
+    cross-attention and FFN applied to each stream with shared parameters.
+    """
+    d_model: int
+    d_ff: int
+    n_heads: int = 4
+    dropout: float = 0.0
+    dropout_att: float = 0.0
+    future_weight: float = 0.1
+
+    @nn.compact
+    def __call__(self, ys, ys_bwd, yy_mask, identity_mask, xs, xy_mask=None,
+                 deterministic: bool = True):
+        """ys/ys_bwd: [B, L, D]; yy_mask causal [B, L, L]; identity_mask
+        blocks same-position peeking between streams; xs: [B, T, D].
+
+        Returns (ys, ys_bwd, aws dict)."""
+        from .multihead_attention import MultiheadAttention
+        from .feed_forward import FFN
+
+        sync = SyncBidirMultiheadAttention(
+            kdim=self.d_model, qdim=self.d_model, adim=self.d_model,
+            odim=self.d_model, n_heads=self.n_heads,
+            dropout=self.dropout_att, future_weight=self.future_weight,
+            name="self_attn")
+        norm1 = nn.LayerNorm(name="norm1")
+        h_f, h_b = norm1(ys), norm1(ys_bwd)
+        cv_f, cv_b, awfh, awff, awbh, awbf = sync(
+            h_f, h_f, h_f, h_b, h_b, h_b, yy_mask, identity_mask,
+            deterministic=deterministic)
+        drop = nn.Dropout(self.dropout)
+        ys = ys + drop(cv_f, deterministic=deterministic)
+        ys_bwd = ys_bwd + drop(cv_b, deterministic=deterministic)
+
+        # shared-weight source attention + FFN on each stream
+        src = MultiheadAttention(
+            d_model=self.d_model, n_heads=self.n_heads,
+            dropout=self.dropout_att, name="src_attn")
+        norm2 = nn.LayerNorm(name="norm2")
+        out_f, _, xy_f = src(norm2(ys), key=xs, value=xs, mask=xy_mask,
+                             deterministic=deterministic,
+                             return_weights=True)
+        out_b, _, xy_b = src(norm2(ys_bwd), key=xs, value=xs, mask=xy_mask,
+                             deterministic=deterministic,
+                             return_weights=True)
+        ys = ys + drop(out_f, deterministic=deterministic)
+        ys_bwd = ys_bwd + drop(out_b, deterministic=deterministic)
+
+        ffn = FFN(d_model=self.d_model, d_ff=self.d_ff,
+                  dropout=self.dropout, name="feed_forward")
+        norm3 = nn.LayerNorm(name="norm3")
+        ys = ys + drop(ffn(norm3(ys), deterministic=deterministic),
+                       deterministic=deterministic)
+        ys_bwd = ys_bwd + drop(
+            ffn(norm3(ys_bwd), deterministic=deterministic),
+            deterministic=deterministic)
+        return ys, ys_bwd, {"yy_fwd_h": awfh, "yy_fwd_f": awff,
+                            "yy_bwd_h": awbh, "yy_bwd_f": awbf,
+                            "xy_fwd": xy_f, "xy_bwd": xy_b}

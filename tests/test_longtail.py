@@ -223,3 +223,24 @@ def test_minlt_word_alignment_training(tmp_path):
         rngs={"dropout": RNG})
     assert np.isfinite(float(loss))
     assert "loss_latency" in obs and np.isfinite(float(obs["loss_latency"]))
+
+
+def test_sync_bidir_decoder_block():
+    """SyncBidirTransformerDecoderBlock (reference modules/transformer.py
+    :271-400): both streams update with shared weights; causal history +
+    cross-stream future with identity masking."""
+    from neural_sp_tpu.models.modules.sync_bidir_multihead_attention import (
+        SyncBidirTransformerDecoderBlock)
+    bs, L, T, d = 2, 5, 7, 16
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.standard_normal((bs, L, d)), jnp.float32)
+    yb = jnp.asarray(rng.standard_normal((bs, L, d)), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal((bs, T, d)), jnp.float32)
+    causal = jnp.tril(jnp.ones((L, L), bool))[None].repeat(bs, 0)
+    ident = ~jnp.eye(L, dtype=bool)[None].repeat(bs, 0)
+    blk = SyncBidirTransformerDecoderBlock(d_model=d, d_ff=32, n_heads=2)
+    v = blk.init(RNG, ys, yb, causal, ident, xs)
+    of, ob, aws = blk.apply(v, ys, yb, causal, ident, xs)
+    assert of.shape == ys.shape and ob.shape == yb.shape
+    assert np.isfinite(np.asarray(of)).all()
+    assert aws["xy_fwd"] is not None
