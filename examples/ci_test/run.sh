@@ -50,10 +50,47 @@ python -m neural_sp_tpu.bin.asr.train $common \
   --enc_type blstm --enc_n_layers 1 --dec_type lstm --ctc_weight 0.3 \
   --model_save_dir "$work/las" --resume "$work/las/ckpt.epoch-2" --n_epochs 3
 
-echo "=== decode + LM fusion ==="
+echo "=== char LM (fusion + rescoring member) ==="
+python -m neural_sp_tpu.bin.lm.train --train_set "$data/train.tsv" \
+  --dev_set "$data/dev.tsv" --dict "$data/dict_char.txt" \
+  --model_save_dir "$work/lm_char" --lm_type lstm --unit char --n_units 24 \
+  --n_layers 1 --emb_dim 12 --batch_size 4 --bptt 10 --n_epochs 1 --lr 3e-3
+
+echo "=== second ASR model (ensemble member) ==="
+python -m neural_sp_tpu.bin.asr.train $common \
+  --enc_type blstm --enc_n_layers 1 --dec_type lstm --ctc_weight 0.3 \
+  --seed 7 --model_save_dir "$work/las2"
+
+echo "=== decode: shallow fusion + joint CTC ==="
 python -m neural_sp_tpu.bin.asr.eval --recog_model "$work/las" \
   --recog_sets "$data/test.tsv" --recog_beam_width 4 --recog_ctc_weight 0.3 \
-  --recog_length_norm true --recog_n_average 2 --recog_dir "$work/decode"
+  --recog_length_norm true --recog_n_average 2 \
+  --recog_lm "$work/lm_char" --recog_lm_weight 0.3 --recog_dir "$work/decode"
+
+echo "=== decode: second-pass + backward LM rescoring ==="
+python -m neural_sp_tpu.bin.asr.eval --recog_model "$work/las" \
+  --recog_sets "$data/test.tsv" --recog_beam_width 4 --recog_n_best 4 \
+  --recog_lm_second "$work/lm_char" --recog_lm_second_weight 0.2 \
+  --recog_lm_bwd "$work/lm_char" --recog_lm_bwd_weight 0.1 \
+  --recog_dir "$work/decode2"
+
+echo "=== decode: ensemble ==="
+python -m neural_sp_tpu.bin.asr.eval --recog_model "$work/las" \
+  --recog_sets "$data/test.tsv" --recog_beam_width 4 \
+  --recog_ensemble "$work/las2" --recog_dir "$work/decode3"
+
+echo "=== decode: on-device batched beam + oracle ==="
+python -m neural_sp_tpu.bin.asr.eval --recog_model "$work/las" \
+  --recog_sets "$data/test.tsv" --recog_beam_width 4 \
+  --recog_device_beam true --recog_dir "$work/decode4"
+python -m neural_sp_tpu.bin.asr.eval --recog_model "$work/las" \
+  --recog_sets "$data/test.tsv" --recog_beam_width 4 \
+  --recog_oracle true --recog_dir "$work/decode5"
+
+echo "=== decode: streaming block-sync ==="
+python -m neural_sp_tpu.bin.asr.eval --recog_model "$work/stream" \
+  --recog_sets "$data/test.tsv" --recog_beam_width 2 \
+  --recog_streaming true --recog_dir "$work/decode6"
 
 echo "=== plots + alignment ==="
 python -m neural_sp_tpu.bin.asr.plot_attention --recog_model "$work/las" \

@@ -84,8 +84,17 @@ def main(argv=None):
         if getattr(args, "train_dtype", "float32") in ("bfloat16", "bf16") \
         else None
 
-    @jax.jit
-    def step(params, opt_state, state, xi, xo, key, lr_scale):
+    # LM data parallelism: ONE jit program over a device mesh, BPTT batch
+    # rows sharded over `data`, params replicated (the reference wraps LMs
+    # in DDP the same way it does ASR, lm/train.py:167-178)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from ...parallel.mesh import make_mesh, replicated, batch_sharding
+        mesh = make_mesh(n_data=n_dev)
+        params = jax.device_put(params, replicated(mesh))
+
+    def step_fn(params, opt_state, state, xi, xo, key, lr_scale):
         def loss_fn(p):
             if compute_dtype is not None:
                 from ...parallel.mesh import cast_floating
@@ -103,8 +112,21 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, obs
 
-    eval_step = jax.jit(lambda p, xi, xo, st: lm.apply(
-        {"params": p}, xi, xo, st))
+    if mesh is None:
+        step = jax.jit(step_fn)
+        eval_step = jax.jit(lambda p, xi, xo, st: lm.apply(
+            {"params": p}, xi, xo, st))
+    else:
+        from ...parallel.mesh import replicated, batch_sharding
+        repl, data = replicated(mesh), batch_sharding(mesh)
+        step = jax.jit(step_fn,
+                       in_shardings=(repl, repl, data, data, data, repl,
+                                     repl),
+                       out_shardings=(repl, repl, data, repl))
+        eval_step = jax.jit(
+            lambda p, xi, xo, st: lm.apply({"params": p}, xi, xo, st),
+            in_shardings=(repl, data, data, data),
+            out_shardings=(repl, data, repl))
 
     reporter = Reporter(save_dir)
     rng = jax.random.PRNGKey(args.seed)

@@ -262,3 +262,20 @@ def test_mtl_per_batch_and_sub_task(corpus, tmp_path):
     with open(os.path.join(save_dir, "history.csv")) as f:
         rows = list(csv.DictReader(f))
     assert rows and np.isfinite(float(rows[-1]["dev_loss_mean"]))
+
+
+@pytest.mark.slow
+def test_lm_train_mesh_dp(corpus, tmp_path):
+    """LM training over the 8-device mesh (BPTT rows sharded over `data`,
+    params replicated — the DDP analog for LMs)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    exp = str(tmp_path / "lm_dp")
+    save_dir = lm_train.main([
+        "--train_set", corpus["train_word"], "--dev_set", corpus["dev_word"],
+        "--dict", corpus["dict_word"], "--model_save_dir", exp,
+        "--lm_type", "lstm", "--unit", "word", "--n_units", "24",
+        "--n_layers", "1", "--emb_dim", "12", "--batch_size", "8",
+        "--bptt", "10", "--n_epochs", "1", "--lr", "3e-3"])
+    assert os.path.exists(os.path.join(save_dir, "ckpt.epoch-1"))
