@@ -158,10 +158,21 @@ def main(argv=None):
         logger.info("resumed from %s (epoch %d)", args.resume, start_epoch)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    # optional tensor parallelism: --n_model K shards large kernels over a
+    # `model` mesh axis (param_shardings); default pure DP
+    n_model = max(int(getattr(args, "n_model", 1)), 1)
+    mesh = make_mesh(n_data=n_dev // n_model, n_model=n_model) \
+        if n_dev > 1 else None
+    tp_shardings = None
     if mesh is not None:
-        params = jax.device_put(params, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        if n_model > 1:
+            from ...parallel.mesh import param_shardings
+            tp_shardings = param_shardings(params, mesh)
+            params = jax.device_put(params, tp_shardings)
+            opt_state = tx.init(params)
+        else:
+            params = jax.device_put(params, replicated(mesh))
+            opt_state = jax.device_put(opt_state, replicated(mesh))
     rsp_prob = getattr(args, "rsp_prob", 0.0)
     rsp_carry = None
     compute_dtype = jnp.bfloat16 \
@@ -180,7 +191,8 @@ def main(argv=None):
         rsp_carry = jax.tree.map(jnp.zeros_like, carry0)
     else:
         step_fn = make_train_step(model, tx, mesh,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  tp_params=tp_shardings)
 
     # knowledge-distillation teacher (reference speech2text.py:347-367 +
     # train.py teacher args): teacher-forced soft targets per batch
@@ -274,7 +286,8 @@ def main(argv=None):
                         compute_dtype=compute_dtype)
                 else:
                     _phase_steps[over] = make_train_step(
-                        phase_model, tx, mesh, compute_dtype=compute_dtype)
+                        phase_model, tx, mesh, compute_dtype=compute_dtype,
+                        tp_params=tp_shardings)
             else:
                 _phase_steps[over] = step_fn
         return _phase_steps[over]
@@ -434,7 +447,8 @@ def main(argv=None):
             lr_ref = kw["lr"]
             _phase_steps.clear()
             step_fn = make_train_step(model, tx, mesh,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      tp_params=tp_shardings)
             _phase_steps[()] = step_fn
             logger.info("converted to SGD (lr %.2g) at epoch %d",
                         kw["lr"], epoch)

@@ -37,6 +37,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """Tensor-parallel parameter sharding over the ``model`` axis.
+
+    Heuristic TP layout (SURVEY §2.10 — the reference has no TP; this is
+    the TPU-native extension): 2-D kernels whose LAST dim is divisible by
+    the model-axis size and whose element count exceeds ``min_size`` are
+    sharded column-wise (d_ff up-projections, vocab output heads,
+    embeddings); everything else is replicated. XLA inserts the matching
+    all-gathers/reduce-scatters. Returns a NamedSharding pytree shaped
+    like ``params``.
+    """
+    n_model = mesh.shape["model"]
+
+    def spec(path, x):
+        if n_model > 1 and hasattr(x, "ndim") and x.ndim >= 2 and \
+                x.size >= min_size and x.shape[-1] % n_model == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place numpy batch arrays onto the mesh, batch-axis sharded."""
     sh = batch_sharding(mesh)
@@ -59,7 +82,7 @@ def cast_floating(tree, dtype):
 
 def make_train_step(model, tx, mesh: Mesh | None = None,
                     donate: bool = True, weight_noise_std: float = 0.0,
-                    compute_dtype=None):
+                    compute_dtype=None, tp_params=None):
     """Build the jitted (sharded) training step.
 
     step(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale=1.0)
@@ -116,10 +139,16 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
     else:
         repl = replicated(mesh)
         data = batch_sharding(mesh)
+        # tp_params: NamedSharding pytree from param_shardings() — params
+        # live tensor-sharded over the `model` axis and XLA inserts the TP
+        # collectives; the optimizer state is left unconstrained (None) so
+        # sharding propagation matches each moment to its parameter
+        p_sh = tp_params if tp_params is not None else repl
+        o_sh = None if tp_params is not None else repl
         jitted = jax.jit(
             step,
-            in_shardings=(repl, repl, repl, data, repl),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(p_sh, o_sh, repl, data, repl),
+            out_shardings=(p_sh, o_sh, repl),
             donate_argnums=(0, 1) if donate else (),
         )
 

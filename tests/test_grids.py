@@ -210,3 +210,52 @@ def test_train_step_lr_scale_applies():
     d_half = jax.tree.map(lambda a, b: np.asarray(a - b), p_half, params)
     for df, dh in zip(jax.tree.leaves(d_full), jax.tree.leaves(d_half)):
         np.testing.assert_allclose(dh, 0.5 * df, rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_tensor_parallel_step_matches_single_device():
+    """DP x TP mesh (4 data x 2 model): large kernels tensor-sharded over
+    `model` (param_shardings), the rest replicated — the training step must
+    match the single-device trajectory (TP is arithmetic-invariant up to
+    reduction order)."""
+    import optax
+    from neural_sp_tpu.parallel.mesh import (
+        make_mesh, make_train_step, shard_batch, replicated,
+        param_shardings)
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+    base = dict(enc_type="blstm", input_dim=16, enc_n_units=64,
+                enc_n_layers=1, dec_type="lstm", dec_n_units=64,
+                dec_n_layers=1, emb_dim=32, dec_bottleneck_dim=64,
+                attn_dim=32, attn_conv_width=9, vocab=32, ctc_weight=1.0,
+                dropout_enc=0.0, dropout_dec=0.0)
+    model = build_speech2text(SimpleNamespace(**base))
+    rng = np.random.default_rng(0)
+    bs = 8
+    xs = jnp.asarray(rng.standard_normal((bs, 32, 16)), jnp.float32)
+    xlens = jnp.full((bs,), 32, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, 32, (bs, 4)), jnp.int32)
+    ylens = jnp.full((bs,), 4, jnp.int32)
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    tx = build_optimizer("adam", lr=1e-3)
+
+    step1 = make_train_step(model, tx, None, donate=False)
+    p1, o1, m1 = step1(v["params"], tx.init(v["params"]),
+                       jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    tp = param_shardings(v["params"], mesh, min_size=1024)
+    # at least one kernel must actually shard over `model`
+    n_sharded = sum(
+        1 for s in jax.tree.leaves(tp)
+        if "model" in str(s.spec))
+    assert n_sharded > 0, "TP heuristic sharded nothing"
+    p_tp = jax.device_put(v["params"], tp)
+    o_tp = tx.init(p_tp)
+    step_tp = make_train_step(model, tx, mesh, donate=False, tp_params=tp)
+    b = shard_batch({"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens},
+                    mesh)
+    p2, o2, m2 = step_tp(p_tp, o_tp, jax.random.PRNGKey(0),
+                         b["xs"], b["xlens"], b["ys"], b["ylens"])
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()), p1, p2)
+    assert max(jax.tree.leaves(d)) < 1e-4
