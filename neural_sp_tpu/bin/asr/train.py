@@ -161,6 +161,9 @@ def main(argv=None):
     # optional tensor parallelism: --n_model K shards large kernels over a
     # `model` mesh axis (param_shardings); default pure DP
     n_model = max(int(getattr(args, "n_model", 1)), 1)
+    if n_model > 1:
+        assert n_dev % n_model == 0 and n_dev >= n_model, (
+            f"--n_model {n_model} must divide the device count {n_dev}")
     mesh = make_mesh(n_data=n_dev // n_model, n_model=n_model) \
         if n_dev > 1 else None
     tp_shardings = None
@@ -169,11 +172,20 @@ def main(argv=None):
             from ...parallel.mesh import param_shardings
             tp_shardings = param_shardings(params, mesh)
             params = jax.device_put(params, tp_shardings)
-            opt_state = tx.init(params)
+            # re-layout (NOT re-init) the optimizer state onto the moment
+            # shardings propagation would pick — a resumed opt_state keeps
+            # its restored values
+            template = tx.init(params)
+            opt_state = jax.tree.map(
+                lambda v, t: jax.device_put(jnp.asarray(v), t.sharding),
+                opt_state, template)
         else:
             params = jax.device_put(params, replicated(mesh))
             opt_state = jax.device_put(opt_state, replicated(mesh))
     rsp_prob = getattr(args, "rsp_prob", 0.0)
+    assert not (rsp_prob > 0 and tp_shardings is not None), (
+        "rsp_prob training does not support --n_model tensor parallelism "
+        "yet (the RSP step is built with replicated params)")
     rsp_carry = None
     compute_dtype = jnp.bfloat16 \
         if getattr(args, "train_dtype", "float32") in ("bfloat16", "bf16") \
@@ -300,17 +312,34 @@ def main(argv=None):
     if getattr(args, "mtl_per_batch", False):
         sub1_w = getattr(args, "sub1_weight", 0.0)
         sub2_w = getattr(args, "sub2_weight", 0.0)
+        for i_sub, w_sub in (("1", sub1_w), ("2", sub2_w)):
+            # a sub head without an encoder tap trains on NOTHING — the
+            # phase model's eouts lack ys_subN and the loss is 0
+            assert w_sub <= 0 or getattr(
+                args, f"enc_n_layers_sub{i_sub}", 0) > 0, (
+                f"sub{i_sub}_weight > 0 needs --enc_n_layers_sub{i_sub} "
+                "(the encoder tap feeding that head)")
         main_over = (("sub1_weight", 0.0), ("sub2_weight", 0.0),
                      ("ctc_weight_sub1", 0.0), ("ctc_weight_sub2", 0.0))
         mtl_tasks.append(main_over)
+        # sub tasks scale the head's weight to 1.0 while PRESERVING the
+        # att/ctc ratio, so the phase model builds exactly the same
+        # modules as the main model (a changed ratio sign would create or
+        # drop heads whose params don't exist in the shared tree)
         if sub1_w > 0:
+            wc1 = getattr(args, "ctc_weight_sub1", 0.0)
             mtl_tasks.append((("ctc_weight", 0.0), ("bwd_weight", 0.0),
-                              ("sub1_weight", 1.0), ("sub2_weight", 0.0),
+                              ("sub1_weight", 1.0),
+                              ("ctc_weight_sub1", wc1 / sub1_w),
+                              ("sub2_weight", 0.0),
                               ("ctc_weight_sub2", 0.0)))
         if sub2_w > 0:
+            wc2 = getattr(args, "ctc_weight_sub2", 0.0)
             mtl_tasks.append((("ctc_weight", 0.0), ("bwd_weight", 0.0),
-                              ("sub1_weight", 0.0), ("sub2_weight", 1.0),
-                              ("ctc_weight_sub1", 0.0)))
+                              ("sub1_weight", 0.0),
+                              ("ctc_weight_sub1", 0.0),
+                              ("sub2_weight", 1.0),
+                              ("ctc_weight_sub2", wc2 / sub2_w)))
 
     # Epoch-level lr decay reaches the jitted step as a runtime multiplier
     # relative to the lr baked into the optimizer at build time (reference

@@ -93,6 +93,11 @@ def main(argv=None):
         from ...parallel.mesh import make_mesh, replicated, batch_sharding
         mesh = make_mesh(n_data=n_dev)
         params = jax.device_put(params, replicated(mesh))
+    elif n_dev > 1:
+        logger.warning(
+            "LM data parallelism DISABLED: batch_size %d is not divisible "
+            "by the %d devices — training runs single-device",
+            args.batch_size, n_dev)
 
     def step_fn(params, opt_state, state, xi, xo, key, lr_scale):
         def loss_fn(p):
@@ -117,7 +122,6 @@ def main(argv=None):
         eval_step = jax.jit(lambda p, xi, xo, st: lm.apply(
             {"params": p}, xi, xo, st))
     else:
-        from ...parallel.mesh import replicated, batch_sharding
         repl, data = replicated(mesh), batch_sharding(mesh)
         step = jax.jit(step_fn,
                        in_shardings=(repl, repl, data, data, data, repl,

@@ -130,12 +130,19 @@ def eval_wer_by_length(session, loader, bins=(0, 10, 20, 40, 10**9)) -> dict:
 
 def eval_streaming(session, loader, save_dir=None) -> dict:
     """Streaming decode evaluation: WER + RTF + quantity rate +
-    streamability diagnostics (reference wordpiece.py:155-208)."""
+    streamability diagnostics (reference wordpiece.py:155-208 +
+    las.py:1386-1435): ``streamability`` is the fraction of utterances
+    whose every token boundary fired before the final encoder frame
+    arrived; ``last_success_frame_ratio`` is the mean position of the last
+    emitted boundary relative to the utterance end."""
     idx2token = loader.idx2token
     n_err = n_tok = n_hyp_tok = 0
     rtfs = []
     n_resets_total = 0
     n_utts = 0
+    n_streamable = 0
+    lsf_ratios = []
+    has_diag = False
     for batch in loader:
         for b in range(len(batch["utt_ids"])):
             feats = batch["xs"][b][: batch["xlens"][b]]
@@ -148,11 +155,26 @@ def eval_streaming(session, loader, save_dir=None) -> dict:
             n_hyp_tok += len(hyp_ids)
             rtfs.append(stats["rtf"])
             n_resets_total += stats["n_resets"]
+            bounds = stats.get("boundaries")
+            t_out = stats.get("n_out_frames", 0)
+            if bounds is not None:
+                has_diag = True
+                if bounds and t_out:
+                    lsf_ratios.append(bounds[-1] / max(t_out, 1))
+                    if bounds[-1] < t_out - 1:
+                        n_streamable += 1
+                # an utterance with NO boundaries is non-streamable
             n_utts += 1
-    return {"wer": 100.0 * n_err / max(n_tok, 1),
-            "rtf": float(sum(rtfs) / max(len(rtfs), 1)),
-            "quantity_rate": n_hyp_tok / max(n_tok, 1),
-            "n_resets": n_resets_total, "n_utts": n_utts}
+    out = {"wer": 100.0 * n_err / max(n_tok, 1),
+           "rtf": float(sum(rtfs) / max(len(rtfs), 1)),
+           "quantity_rate": n_hyp_tok / max(n_tok, 1),
+           "n_resets": n_resets_total, "n_utts": n_utts}
+    if has_diag:
+        out["streamability"] = n_streamable / max(n_utts, 1)
+        if lsf_ratios:
+            out["last_success_frame_ratio"] = float(
+                sum(lsf_ratios) / len(lsf_ratios))
+    return out
 
 
 def eval_wordpiece(session, loader, save_dir=None, progress=False):

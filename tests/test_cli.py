@@ -254,7 +254,8 @@ def test_mtl_per_batch_and_sub_task(corpus, tmp_path):
         "--attn_conv_width", "9", "--unit", "char",
         "--ctc_weight", "0.3", "--sub1_weight", "0.3",
         "--ctc_weight_sub1", "0.3", "--dict_sub1", corpus["dict_char"],
-        "--unit_sub1", "char", "--mtl_per_batch", "true",
+        "--unit_sub1", "char", "--enc_n_layers_sub1", "1",
+        "--mtl_per_batch", "true",
         "--batch_size", "8", "--n_epochs", "1", "--optimizer", "adam",
         "--lr", "3e-3", "--min_n_frames", "1", "--lsm_prob", "0"])
     assert os.path.exists(os.path.join(save_dir, "ckpt.epoch-1"))
