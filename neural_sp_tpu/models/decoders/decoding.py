@@ -481,7 +481,9 @@ class Speech2TextSession:
         scores[0] = 0.0
         scores_ctc = np.zeros(beam, np.float32)
         scores_lm = np.zeros(beam, np.float32)
-        lm_states = [self.lm.initial_state(1) if self.lm else None] * beam
+        # LM state is ONE batched pytree over the beam (a single predict
+        # dispatch per step; rows reorder by gather on beam reorder)
+        lm_state = self.lm.initial_state(beam) if self.lm else None
         aw_sums = np.zeros((beam, tmax), np.float32)
         y = jnp.full((beam,), EOS, jnp.int32)
         finished: list[dict] = []
@@ -511,15 +513,9 @@ class Speech2TextSession:
 
             lm_logp = np.zeros_like(logp)
             if self.lm is not None and conf.lm_weight > 0:
-                lps, new_states = [], []
-                for k in range(beam):
-                    lp_k, st = self.lm.predict(
-                        np.asarray([hyps[k][-1] if hyps[k] else EOS],
-                                   np.int32), lm_states[k])
-                    lps.append(np.asarray(lp_k[0]))
-                    new_states.append(st)
-                lm_logp = np.stack(lps)
-                lm_states = new_states
+                y_in = np.asarray(
+                    [h[-1] if h else EOS for h in hyps], np.int32)
+                lm_logp, lm_state = self.lm.predict(y_in, lm_state)
 
             total = scores[:, None] + logp_eff + conf.lm_weight * lm_logp
             # eos handling: eos allowed only if logp(eos) good enough
@@ -635,8 +631,7 @@ class Speech2TextSession:
                 aw_np = aw_np.mean(1)
             aw_sums = aw_sums[parents] + aw_np[parents]
             if self.lm is not None:
-                lm_states = [jax.tree.map(lambda x: x, lm_states[p])
-                             for p in parents]
+                lm_state = jax.tree.map(lambda x: x[par], lm_state)
             hyps = new_hyps
             peaks = new_peaks
             hists = new_hists
@@ -696,7 +691,7 @@ class Speech2TextSession:
         scores[0] = 0.0
         scores_ctc = np.zeros(beam, np.float32)
         scores_lm = np.zeros(beam, np.float32)
-        lm_states = [self.lm.initial_state(1) if self.lm else None] * beam
+        lm_state = self.lm.initial_state(beam) if self.lm else None
         y = jnp.full((beam,), EOS, jnp.int32)
         finished: list[dict] = []
 
@@ -708,15 +703,9 @@ class Speech2TextSession:
             V = logp.shape[-1]
             lm_logp = np.zeros_like(logp)
             if self.lm is not None and conf.lm_weight > 0:
-                lps, new_states = [], []
-                for k in range(beam):
-                    lp_k, st = self.lm.predict(
-                        np.asarray([hyps[k][-1] if hyps[k] else EOS],
-                                   np.int32), lm_states[k])
-                    lps.append(np.asarray(lp_k[0]))
-                    new_states.append(st)
-                lm_logp = np.stack(lps)
-                lm_states = new_states
+                y_in = np.asarray(
+                    [h[-1] if h else EOS for h in hyps], np.int32)
+                lm_logp, lm_state = self.lm.predict(y_in, lm_state)
 
             total = scores[:, None] + logp + conf.lm_weight * lm_logp
             if step_i < min_len:
@@ -788,7 +777,7 @@ class Speech2TextSession:
             par = jnp.asarray(parents, jnp.int32)
             caches = jax.tree.map(lambda x: x[par], caches)
             if self.lm is not None:
-                lm_states = [lm_states[p] for p in parents]
+                lm_state = jax.tree.map(lambda x: x[par], lm_state)
             hyps = new_hyps
             scores = np.asarray(new_scores, np.float32)
             scores_lm = np.asarray(new_slm, np.float32)
