@@ -8,8 +8,11 @@ SentencePiece-compatible conventions:
 
   * "▁" (U+2581) marks word starts; decode joins pieces and maps "▁"->space;
   * model files are JSON (vocab + ordered merges), trainable from raw text;
-  * if the ``sentencepiece`` python package is importable, ``Wp2idx`` /
-    ``Idx2wp`` transparently accept a ``.model`` file instead.
+  * real SentencePiece ``.model`` files (the artifacts shipped by reference
+    recipes, loaded at ``wordpiece.py:28-29``) are read NATIVELY via
+    :mod:`.spm_model` (protobuf wire parse + unigram Viterbi / BPE merge) —
+    no ``sentencepiece`` package needed; if it IS importable it is
+    preferred for exact parity with its normalizer charsmap.
 """
 from __future__ import annotations
 
@@ -145,20 +148,49 @@ def _is_spm_model(path: str) -> bool:
     return path.endswith(".model") and not path.endswith(".json.model")
 
 
+class _SpmPackageAdapter:
+    """sentencepiece package behind the native-reader interface."""
+
+    def __init__(self, wp_model: str):
+        import sentencepiece as spm
+        self._sp = spm.SentencePieceProcessor()
+        self._sp.Load(wp_model)
+        self.unk_id = self._sp.unk_id()
+        self.piece2id = _LazyPiece2Id(self._sp)
+
+    def encode_as_pieces(self, text: str):
+        return self._sp.EncodeAsPieces(text)
+
+    def id_to_piece(self, idx: int) -> str:
+        return self._sp.IdToPiece(idx)
+
+
+class _LazyPiece2Id:
+    def __init__(self, sp):
+        self._sp = sp
+
+    def get(self, piece, default):
+        i = self._sp.PieceToId(piece)
+        return default if (i == self._sp.unk_id() and
+                           piece != self._sp.IdToPiece(i)) else i
+
+
+def _load_spm(wp_model: str):
+    try:
+        return _SpmPackageAdapter(wp_model)
+    except ImportError:
+        from .spm_model import SentencePieceModel
+        return SentencePieceModel(wp_model)
+
+
 class Wp2idx:
     """Text -> wordpiece ids, via native BPE JSON model or SentencePiece."""
 
     def __init__(self, dict_path: str | None, wp_model: str):
         self._spm = None
+        self._bpe = None
         if _is_spm_model(wp_model):
-            try:
-                import sentencepiece as spm  # optional external
-                self._spm = spm.SentencePieceProcessor()
-                self._spm.Load(wp_model)
-            except ImportError:
-                raise ImportError(
-                    "sentencepiece .model given but package unavailable; "
-                    "train a native JSON BPE model with train_bpe() instead")
+            self._spm = _load_spm(wp_model)
         else:
             self._bpe = BPEModel(wp_model)
         # optional external dict remaps pieces -> ids (reference dict.txt)
@@ -169,11 +201,14 @@ class Wp2idx:
 
     def __call__(self, text: str) -> list[int]:
         if self._spm is not None:
-            pieces = self._spm.EncodeAsPieces(text)
+            pieces = self._spm.encode_as_pieces(text)
         else:
             pieces = self._bpe.encode(text)
         if self.token2idx is not None:
             return [self.token2idx.get(p, self.token2idx["<unk>"])
+                    for p in pieces]
+        if self._spm is not None:
+            return [self._spm.piece2id.get(p, self._spm.unk_id)
                     for p in pieces]
         return [self._bpe.piece2id.get(p, 1) for p in pieces]
 
@@ -182,9 +217,7 @@ class Idx2wp:
     def __init__(self, dict_path: str | None, wp_model: str):
         self._spm = None
         if _is_spm_model(wp_model):
-            import sentencepiece as spm
-            self._spm = spm.SentencePieceProcessor()
-            self._spm.Load(wp_model)
+            self._spm = _load_spm(wp_model)
             self.idx2token = None
         else:
             self._bpe = BPEModel(wp_model)
@@ -197,7 +230,7 @@ class Idx2wp:
         if self.idx2token is not None:
             pieces = [self.idx2token.get(int(i), "<unk>") for i in ids]
         else:
-            pieces = [self._spm.IdToPiece(int(i)) for i in ids]
+            pieces = [self._spm.id_to_piece(int(i)) for i in ids]
         if return_list:
             return pieces
         return "".join(pieces).replace(WORD_BOUNDARY, " ").strip()
