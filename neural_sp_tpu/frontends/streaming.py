@@ -41,6 +41,60 @@ class StreamingDriver:
         self.offset = self.offset if offset is None else offset
 
 
+class CtcVAD:
+    """Stateful CTC-VAD with cross-block blank accounting — exact semantics
+    of the reference's ``Streaming.ctc_reset_point_detection``
+    (streaming.py:159-218): ``n_blanks`` persists across blocks, a weak
+    non-blank spike (max prob < spike_threshold) counts as blank, a strong
+    spike resets the counter, and a reset fires when
+    ``n_blanks * factor >= blank_threshold`` (threshold in INPUT frames,
+    counters in encoder frames) once ``min_accum_frames`` input frames have
+    accumulated.
+    """
+
+    def __init__(self, factor: int = 1, blank: int = 0,
+                 blank_threshold: int = 40, spike_threshold: float = 0.1,
+                 min_accum_frames: int = 0):
+        self.factor = factor
+        self.blank = blank
+        self.blank_threshold = blank_threshold
+        self.spike_threshold = spike_threshold
+        self.min_accum_frames = min_accum_frames
+        self.reset()
+
+    def reset(self):
+        self.n_blanks = 0
+        self.n_accum_frames = 0
+
+    def step(self, topk_ids: np.ndarray, max_probs: np.ndarray | None,
+             n_new_input_frames: int) -> bool:
+        """Feed one block's [T_block] argmax ids (+ max posterior per frame);
+        returns is_reset. Counters carry across calls until ``reset()``."""
+        self.n_accum_frames += n_new_input_frames
+        ids = np.asarray(topk_ids)
+        t = len(ids)
+        if t == 0:
+            return False
+        is_blank = ids == self.blank
+        if max_probs is not None:
+            weak = ~is_blank & (np.asarray(max_probs) < self.spike_threshold)
+            eff_blank = is_blank | weak
+        else:
+            eff_blank = is_blank
+        # run[i] = consecutive effective-blanks ending at i, seeded with the
+        # carried-in count when the block opens with blanks
+        idx = np.arange(t)
+        strong = ~eff_blank
+        last_strong = np.maximum.accumulate(np.where(strong, idx, -1))
+        run = np.where(eff_blank, idx - last_strong, 0)
+        opening = last_strong < 0  # no strong spike yet in this block
+        run = np.where(opening & eff_blank, run + self.n_blanks, run)
+        self.n_blanks = int(run[-1]) if eff_blank[-1] else 0
+        if self.n_accum_frames < self.min_accum_frames:
+            return False
+        return bool(np.any(run * self.factor >= self.blank_threshold))
+
+
 def ctc_reset_point_detection(
     ctc_topk_ids: np.ndarray,
     blank: int = 0,

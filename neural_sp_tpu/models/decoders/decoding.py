@@ -832,30 +832,57 @@ class Speech2TextSession:
 
     # ------------------------------------------------------------------ #
     def decode_streaming(self, x_whole, blank_threshold: int = 40,
-                         min_accum_frames: int = 0):
+                         min_accum_frames: int = 0, backoff: bool = True):
         """Block-synchronous streaming decode of ONE utterance
         (reference ``Speech2Text.decode_streaming`` speech2text.py:550-698):
-        chunked encoder with explicit caches + block-sync CTC prefix beam +
-        CTC-VAD segment resets.
+        chunked encoder with explicit caches/carries + block-sync beam
+        (CTC prefix or transducer) + CTC-VAD segment resets.
+
+        Reset semantics (parity with the reference loop):
+          * on a VAD reset the running best prefix is COMMITTED for every
+            decoder type (``best_hyp_id_session.extend``, :683-686) and the
+            beam restarts;
+          * RNN encoders reset their carry and, with ``backoff``, re-encode
+            the PREVIOUS block to warm the state (:601-609);
+          * transformer encoder caches persist across resets (the
+            ``not is_transformer_enc`` guard, :602);
+          * blank counting carries across blocks (``Streaming._n_blanks``).
 
         x_whole: [T, D] features. Returns (hyp ids, stats dict with rtf/...).
         """
         import time
-        from ...frontends.streaming import (
-            StreamingDriver, ctc_reset_point_detection)
+        from ...frontends.streaming import StreamingDriver, CtcVAD
         from .ctc import CTCBlockSyncBeam
         from ..encoders.transformer import XformerEncoder
+        from ..encoders.rnn import RNNEncoder
 
         enc = self.model.encoder
-        assert isinstance(enc, XformerEncoder), \
-            "decode_streaming currently drives Xformer encoders"
-        total_in, hop_in = enc.block_input_frames()
-        _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
-
-        if isinstance(self.dec, RNNDecoder) and self.dec.attn_type == "mocha":
+        is_xformer = isinstance(enc, XformerEncoder)
+        if is_xformer and isinstance(self.dec, RNNDecoder) and \
+                self.dec.attn_type == "mocha":
+            fusion_free = (self.conf.lm_weight == 0
+                           and self.conf.ctc_weight == 0
+                           and not self.ensemble
+                           and self.lm_second is None
+                           and self.lm_bwd is None)
+            if fusion_free and self.conf.device_beam:
+                return self.decode_streaming_attention_device(x_whole)
             return self.decode_streaming_attention(x_whole)
-        self._get_stream_step()
-        cache = enc.init_stream_cache(1)
+        total_in, hop_in = enc.block_input_frames()
+        cnn_ctx_in = enc.stream_geometry()[1]
+        factor = enc.subsampling_factor
+
+        if is_xformer:
+            self._get_stream_step()
+            state = enc.init_stream_cache(1)
+            step = lambda blk, st: self._stream_step(
+                jnp.asarray(blk)[None], st)
+        else:
+            assert isinstance(enc, RNNEncoder)
+            rnn_step = self._get_rnn_stream_step()
+            state = None  # carry: None = fresh segment
+            step = lambda blk, st: rnn_step(jnp.asarray(blk)[None], st)
+
         use_rnnt = isinstance(self.dec, RNNTransducer)
         if use_rnnt:
             rnnt_beam = {(): 0.0}
@@ -867,35 +894,56 @@ class Speech2TextSession:
             beam = CTCBlockSyncBeam(self.conf.beam_width,
                                     lm_fn=lm_fn,
                                     lm_weight=self.conf.lm_weight)
+        vad = CtcVAD(factor=factor, blank_threshold=blank_threshold,
+                     min_accum_frames=min_accum_frames)
         driver = StreamingDriver(x_whole, total_in, hop_in, cnn_ctx_in)
 
         t0 = time.time()
         n_frames = 0
         n_resets = 0
-        factor = enc.subsampling_factor
+        is_reset = False
+        prev_block = None
+        commits: list[list[int]] = []
         for block, n_new, is_last in driver:
-            eouts_blk, lp_blk, cache = self._stream_step(
-                jnp.asarray(block)[None], cache)
+            if is_reset:
+                # segment start (detected in the previous block)
+                if not is_xformer:
+                    state = None
+                    if backoff and prev_block is not None:
+                        # warm the fresh carry on the previous block
+                        # (reference backoff re-encode, :603-608)
+                        _, _, state = step(prev_block, state)
+                is_reset = False
+            eouts_blk, lp_blk, state = step(block, state)
+            prev_block = block
             n_out = -(-n_new // factor)
+            n_frames += n_new
             if use_rnnt:
                 # block-synchronous transducer beam
                 # (reference rnn_transducer.py:767-819)
                 rnnt_beam = self.transducer_beam_frames(
                     np.asarray(eouts_blk)[0][:n_out], rnnt_beam, rnnt_cache,
                     version="mono")
-                n_frames += n_new
-                continue
-            lp = np.asarray(lp_blk)[0][:n_out]
-            beam.step(lp)
-            n_frames += n_new
-            is_reset, _ = ctc_reset_point_detection(
-                np.argmax(lp, -1), blank_threshold=blank_threshold,
-                ctc_probs=np.exp(lp), n_accum_frames=n_frames,
-                min_accum_frames=min_accum_frames or 10**9)
+            else:
+                beam.step(np.asarray(lp_blk)[0][:n_out])
+            if lp_blk is not None:
+                lp = np.asarray(lp_blk)[0][:n_out]
+                is_reset = vad.step(np.argmax(lp, -1),
+                                    np.exp(lp).max(-1), n_new)
             if is_reset and not is_last:
-                beam.commit_and_reset()
-                cache = enc.init_stream_cache(1)
+                # commit the best running prefix, restart the beam
+                if use_rnnt:
+                    best = max(rnnt_beam.items(), key=lambda kv: kv[1])[0]
+                    committed.extend(best)
+                    commits.append(list(committed))
+                    rnnt_beam = {(): 0.0}
+                    rnnt_cache.clear()
+                else:
+                    commits.append(list(beam.commit_and_reset()))
+                vad.reset()
                 n_resets += 1
+            else:
+                is_reset = False
         if use_rnnt:
             hyp = committed + list(
                 max(rnnt_beam.items(), key=lambda kv: kv[1])[0])
@@ -903,7 +951,8 @@ class Speech2TextSession:
             hyp = beam.hypotheses()[0]["hyp"]
         elapsed = time.time() - t0
         stats = {"rtf": elapsed / max(n_frames * 0.01, 1e-6),
-                 "n_resets": n_resets, "n_frames": n_frames}
+                 "n_resets": n_resets, "n_frames": n_frames,
+                 "commits": commits}
         return hyp, stats
 
     def _get_stream_step(self):
@@ -920,6 +969,259 @@ class Speech2TextSession:
                     {"params": p}, xb, cache, method=_step))
             self._stream_step = lambda xb, cache: f(self.params, xb, cache)
         return self._stream_step
+
+    def _get_rnn_stream_step(self):
+        """Jitted per-block RNN-encoder step (+CTC posteriors); carry=None
+        (fresh segment) and carry=pytree compile separately."""
+        if not hasattr(self, "_rnn_stream_step"):
+            def _step(mdl, xb, c):
+                eouts_blk, new_c = mdl.encoder.streaming_step(xb, c)
+                lp = mdl.ctc.log_probs(eouts_blk) \
+                    if mdl.ctc is not None else None
+                return eouts_blk, lp, new_c
+            f = jax.jit(
+                lambda p, xb, carry: self.model.apply(
+                    {"params": p}, xb, carry, method=_step))
+            self._rnn_stream_step = lambda xb, carry: f(self.params, xb,
+                                                        carry)
+        return self._rnn_stream_step
+
+    # ------------------------------------------------------------------ #
+    def decode_streaming_attention_device(self, x_whole,
+                                          steps_per_block: int = 4):
+        """Device-resident block-synchronous MoChA/MMA beam: the WHOLE
+        stream decodes in ONE jit dispatch — an outer ``lax.scan`` over
+        encoder blocks with the chunked encoder cache, the accumulated
+        encoder buffer, the K-row beam, and the finished-hypothesis store
+        all carried in-graph; per block an inner ``lax.scan`` runs up to
+        ``steps_per_block`` label-synchronous expansions with IN-GRAPH
+        HYPOTHESIS PARKING (a row whose hard monotonic attention fires no
+        boundary keeps its pre-step decoder carry — the rollback of the
+        host loop's "hyps without boundary", reference las.py:1534-1560 —
+        and retries when the next block lands).
+
+        Fast path for the fusion-free case (no LM / joint-CTC / ensemble —
+        those stay in the host loop ``decode_streaming_attention``). The
+        per-block token budget is ``steps_per_block`` (the host loop is
+        unbounded); un-emitted tokens carry to the next block, so the
+        search differs only when >steps_per_block boundaries fall inside
+        one block.
+
+        Returns (hyp ids, stats incl. rtf measured forced-sync).
+        """
+        import time
+        from ...frontends.streaming import StreamingDriver
+
+        conf = self.conf
+        dec: RNNDecoder = self.dec
+        K = conf.beam_width
+        enc = self.model.encoder
+        total_in, hop_in = enc.block_input_frames()
+        _, cnn_ctx_in, _, n_c, _ = enc.stream_geometry()
+        factor = enc.subsampling_factor
+
+        blocks, n_news = [], []
+        for b, n_new, _ in StreamingDriver(x_whole, total_in, hop_in,
+                                           cnn_ctx_in):
+            blocks.append(b)
+            n_news.append(-(-n_new // factor))  # real OUT frames per block
+        n_frames = len(x_whole)
+        n_blk = len(blocks)
+        blocks = jnp.asarray(np.stack(blocks))        # [N, total_in, D]
+        n_outs = jnp.asarray(n_news, jnp.int32)
+        t_total = n_blk * n_c
+        t_real = int(sum(n_news))
+        max_len = max(int(t_real * conf.max_len_ratio), 2)
+        S = steps_per_block
+
+        key = (K, n_blk, S, max_len)
+        if not hasattr(self, "_stream_beam_cache"):
+            self._stream_beam_cache = {}
+        if key not in self._stream_beam_cache:
+            def fn(p, blocks, n_outs):
+                NEG = jnp.float32(-1e30)
+                apply = lambda method, *a: self.model.apply(
+                    {"params": p}, *a, method=method)
+                enc_cache = apply(
+                    lambda m, b: m.encoder.init_stream_cache(b), 1)
+                d_enc = dec.enc_n_units
+                e_buf0 = jnp.zeros((t_total, d_enc), blocks.dtype)
+                carry0 = dec.init_carry(K, t_total, blocks.dtype)
+                scores0 = jnp.full((K,), NEG).at[0].set(0.0)
+                toks0 = jnp.full((K, max_len), PAD, jnp.int32)
+                bounds0 = jnp.zeros((K, max_len), jnp.int32)
+                lens0 = jnp.zeros((K,), jnp.int32)
+                y0 = jnp.full((K,), EOS, jnp.int32)
+                parked0 = jnp.zeros((K,), bool)
+                best_tok0 = jnp.full((max_len,), PAD, jnp.int32)
+                best_bd0 = jnp.zeros((max_len,), jnp.int32)
+                best_sc0 = NEG
+
+                def block_step(state, inp):
+                    (enc_cache, e_buf, t_acc, carry, scores, toks, bounds,
+                     lens, y, best_tok, best_bd, best_sc) = state
+                    block, n_out = inp
+                    eouts_blk, enc_cache = apply(
+                        lambda m, xb, c: m.encoder.streaming_step(xb, c),
+                        block[None], enc_cache)
+                    e_buf = jax.lax.dynamic_update_slice(
+                        e_buf, eouts_blk[0], (t_acc, 0))
+                    # t_acc counts REAL frames: the last (padded) block
+                    # contributes only its valid tail to the mask/caps
+                    t_acc = t_acc + n_out
+                    ebk = jnp.broadcast_to(e_buf[None],
+                                           (K,) + e_buf.shape)
+                    kc = apply(
+                        lambda m, x: m.dec_fwd.precompute_keys(x), ebk)
+                    mask = jnp.broadcast_to(
+                        jnp.arange(t_total) < t_acc, (K, t_total))
+
+                    parked = jnp.zeros((K,), bool)
+
+                    def tok_step(st, _):
+                        (carry, scores, toks, bounds, lens, y, parked,
+                         best_tok, best_bd, best_sc) = st
+                        carry_post, logits, alpha = apply(
+                            lambda m, *a: m.dec_fwd.decode_step(*a),
+                            carry, y, kc, ebk, mask)
+                        # alpha: [K, H, T] one-hot boundaries (hard mode)
+                        fired = jnp.sum(alpha, axis=(1, 2)) > 0
+                        t_bd = jnp.argmax(jnp.mean(alpha, 1), -1)  # [K]
+                        alive = scores > NEG / 2
+                        # length cap grows with the REAL accumulated
+                        # frames (host loop: max_tokens per block)
+                        cap = jnp.maximum(
+                            (t_acc.astype(jnp.float32)
+                             * conf.max_len_ratio).astype(jnp.int32), 2)
+                        cap = jnp.minimum(cap, max_len)
+                        can = alive & ~parked & fired & (lens < cap)
+                        logp = jax.nn.log_softmax(
+                            conf.softmax_smoothing
+                            * logits.astype(jnp.float32), -1)
+                        V = logp.shape[-1]
+                        total = jnp.where(can[:, None],
+                                          scores[:, None] + logp, NEG)
+
+                        # eos stays in the candidate pool (host-loop
+                        # semantics: a hypothesis only FINISHES when its
+                        # eos extension ranks among the top candidates);
+                        # rows failing the eos threshold mask it out
+                        non_eos = logp.at[:, EOS].set(NEG)
+                        ok_eos = can & (logp[:, EOS] >= conf.eos_threshold
+                                        * jnp.max(non_eos, -1))
+                        total = total.at[:, EOS].set(
+                            jnp.where(ok_eos, total[:, EOS], NEG))
+
+                        # candidate pool: K "keep" slots (parked/unfired
+                        # survivors hold their score) + K*V expansions;
+                        # take 2K, route eos selections to the finished
+                        # store, keep the best K non-eos as the next beam
+                        keep_sc = jnp.where(alive & ~can, scores, NEG)
+                        all_sc = jnp.concatenate(
+                            [keep_sc, total.reshape(-1)])
+                        sc2, ix2 = jax.lax.top_k(all_sc, 2 * K)
+                        keep2 = ix2 < K
+                        par2 = jnp.where(keep2, ix2, (ix2 - K) // V)
+                        tok2 = ((ix2 - K) % V).astype(jnp.int32)
+                        eos2 = (~keep2) & (tok2 == EOS) & (sc2 > NEG / 2)
+                        L2 = lens[par2] + 1
+                        fin2 = sc2 / jnp.maximum(L2, 1) \
+                            if conf.length_norm else \
+                            sc2 + conf.length_penalty * L2
+                        fin2 = jnp.where(eos2, fin2, NEG)
+                        jf = jnp.argmax(fin2)
+                        kf = par2[jf]
+                        cand_tok = toks[kf].at[lens[kf]].set(EOS)
+                        upd = fin2[jf] > best_sc
+                        best_sc = jnp.where(upd, fin2[jf], best_sc)
+                        best_tok = jnp.where(upd, cand_tok, best_tok)
+                        best_bd = jnp.where(upd, bounds[kf], best_bd)
+
+                        surv = jnp.where(eos2, NEG, sc2)
+                        top_sc, sel = jax.lax.top_k(surv, K)
+                        is_keep = keep2[sel]
+                        parent = par2[sel]
+                        tok = tok2[sel]
+
+                        def pick(pre, post):
+                            pre_p = pre[parent]
+                            post_p = post[parent]
+                            m = is_keep.reshape(
+                                (K,) + (1,) * (pre_p.ndim - 1))
+                            return jnp.where(m, pre_p, post_p)
+                        carry = jax.tree.map(pick, carry, carry_post)
+                        lens_p = lens[parent]
+                        toks_p = toks[parent]
+                        bounds_p = bounds[parent]
+                        toks = jnp.where(
+                            is_keep[:, None], toks_p,
+                            jax.vmap(lambda t, l, v: t.at[l].set(v))(
+                                toks_p, lens_p, tok))
+                        bounds = jnp.where(
+                            is_keep[:, None], bounds_p,
+                            jax.vmap(lambda b, l, v: b.at[l].set(v))(
+                                bounds_p, lens_p, t_bd[parent]))
+                        lens = jnp.where(is_keep, lens_p, lens_p + 1)
+                        last = jax.vmap(
+                            lambda t, l: t[jnp.maximum(l - 1, 0)])(
+                            toks_p, lens_p)
+                        y = jnp.where(
+                            is_keep,
+                            jnp.where(lens_p > 0, last, EOS), tok)
+                        scores = top_sc
+                        parked = is_keep
+                        return (carry, scores, toks, bounds, lens, y,
+                                parked, best_tok, best_bd, best_sc), ()
+
+                    st = (carry, scores, toks, bounds, lens, y, parked,
+                          best_tok, best_bd, best_sc)
+                    st, _ = jax.lax.scan(tok_step, st, None, length=S)
+                    (carry, scores, toks, bounds, lens, y, parked,
+                     best_tok, best_bd, best_sc) = st
+                    return (enc_cache, e_buf, t_acc, carry, scores, toks,
+                            bounds, lens, y, best_tok, best_bd,
+                            best_sc), ()
+
+                state0 = (enc_cache, e_buf0, jnp.int32(0), carry0,
+                          scores0, toks0, bounds0, lens0, y0, best_tok0,
+                          best_bd0, best_sc0)
+                state, _ = jax.lax.scan(block_step, state0,
+                                        (blocks, n_outs))
+                (_, _, _, _, scores, toks, bounds, lens, _, best_tok,
+                 best_bd, best_sc) = state
+                # stream end: surviving rows force-finish and COMPETE with
+                # the finished store (host-loop semantics, :1242-1251)
+                sc_alive_all = scores / jnp.maximum(lens + 1, 1) \
+                    if conf.length_norm else \
+                    scores + conf.length_penalty * (lens + 1)
+                sc_alive_all = jnp.where(scores > NEG / 2, sc_alive_all,
+                                         NEG)
+                k0 = jnp.argmax(sc_alive_all)
+                use_alive = sc_alive_all[k0] > best_sc
+                out_tok = jnp.where(use_alive, toks[k0], best_tok)
+                out_bd = jnp.where(use_alive, bounds[k0], best_bd)
+                out_sc = jnp.where(use_alive, sc_alive_all[k0], best_sc)
+                return out_tok, out_bd, out_sc
+
+            self._stream_beam_cache[key] = jax.jit(fn)
+
+        t0 = time.time()
+        toks, bds, sc = self._stream_beam_cache[key](self.params, blocks,
+                                                     n_outs)
+        toks = np.asarray(toks)  # forces completion through the tunnel
+        bds = np.asarray(bds)
+        elapsed = time.time() - t0
+        hyp, bounds = [], []
+        for t, b in zip(toks, bds):
+            if t in (PAD, EOS):
+                break
+            hyp.append(int(t))
+            bounds.append(int(b))
+        stats = {"rtf": elapsed / max(n_frames * 0.01, 1e-6),
+                 "n_resets": 0, "n_frames": n_frames,
+                 "boundaries": bounds, "n_out_frames": t_total,
+                 "score": float(sc)}
+        return hyp, stats
 
     # ------------------------------------------------------------------ #
     def decode_streaming_attention(self, x_whole, t_pad_blocks: int = 8):
