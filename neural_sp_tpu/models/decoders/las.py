@@ -31,6 +31,7 @@ from ...ops.masks import make_pad_mask
 from ..modules.attention import AttentionMechanism
 from ..modules.gmm_attention import GMMAttention
 from ..utils import append_sos_eos
+from ...ops.dropout import Dropout
 
 
 class LASStep(nn.Module):
@@ -80,6 +81,7 @@ class LASStep(nn.Module):
             self.lm = RNNLM(vocab=self.vocab, n_units=self.lm_n_units,
                             n_layers=self.lm_n_layers,
                             emb_dim=self.lm_emb_dim)
+            self.w_dec_feat = nn.Dense(self.bottleneck_dim)
             self.w_lm = nn.Dense(self.bottleneck_dim)
             self.w_gate = nn.Dense(self.bottleneck_dim)
         if self.n_projs > 0:
@@ -106,7 +108,9 @@ class LASStep(nn.Module):
         else:
             self.attn = AttentionMechanism(
                 kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
-                atype="location" if self.attn_type == "triggered"
+                # reference 'triggered_attention' uses the additive energy
+                # (attention.py:39-42)
+                atype="add" if self.attn_type == "triggered"
                 else self.attn_type,
                 conv_out_channels=self.attn_conv_n_channels,
                 conv_kernel_size=self.attn_conv_kernel_size,
@@ -115,8 +119,8 @@ class LASStep(nn.Module):
                 dropout=self.dropout_att)
         self.w_gen = nn.Dense(self.bottleneck_dim)
         self.output = nn.Dense(self.vocab)
-        self.drop = nn.Dropout(self.dropout)
-        self.drop_emb = nn.Dropout(self.dropout_emb)
+        self.drop = Dropout(self.dropout)
+        self.drop_emb = Dropout(self.dropout_emb)
 
     def __call__(self, carry, y_t, trigger_t, ctx_t, key_cache, values,
                  mask, deterministic: bool = True):
@@ -164,7 +168,9 @@ class LASStep(nn.Module):
             new_states.append(st)
             h = self.drop(h, deterministic=deterministic)
             if self.n_projs > 0:
-                h = jnp.tanh(self.projs[lth](h))
+                # reference uses relu on the per-layer projection
+                # (las.py:840)
+                h = jax.nn.relu(self.projs[lth](h))
             douts.append(h)
 
         query = douts[0]  # dout_score: first-layer output (reference :778)
@@ -190,26 +196,64 @@ class LASStep(nn.Module):
                                 trigger_points=trig, key_cache=key_cache,
                                 deterministic=deterministic)
             aw_new = aw
+        lm_raw = None
         if self.lm_fusion:
-            # frozen-LM cold/deep fusion gate (reference generate :852-881)
             lm_lp, lm_state, h_lm = self.lm.predict(y_in, lm_state)
-            lm_lp = jax.lax.stop_gradient(lm_lp)
-            h_lm = jax.lax.stop_gradient(h_lm)
-            if self.lm_fusion == "cold_prob":
-                lm_feat = self.w_lm(jnp.exp(lm_lp).astype(ctx.dtype))
-            else:
-                lm_feat = self.w_lm(h_lm.astype(ctx.dtype))
-            gate = jax.nn.sigmoid(self.w_gate(
-                jnp.concatenate([douts[-1], lm_feat], axis=-1)))
-            attn_v = jnp.tanh(self.w_gen(jnp.concatenate(
-                [ctx, douts[-1], gate * lm_feat], axis=-1)))
-        else:
-            attn_v = jnp.tanh(self.w_gen(
-                jnp.concatenate([ctx, douts[-1]], axis=-1)))
-        attn_v = self.drop(attn_v, deterministic=deterministic)
-        logits_t = self.output(attn_v)
+            if self.lm_fusion != "deep":  # deep fusion fine-tunes the LM
+                lm_lp = jax.lax.stop_gradient(lm_lp)
+                h_lm = jax.lax.stop_gradient(h_lm)
+            lm_raw = (lm_lp if self.lm_fusion == "cold_prob"
+                      else h_lm).astype(ctx.dtype)
+
+        if self.hoists_readout(deterministic):
+            # HOT PATH: the readout + vocab projection are the biggest
+            # matmuls in the step — emit their inputs and let the caller
+            # run them ONCE over all steps (MXU-batched) instead of 101
+            # small sequential matmuls inside the scan (readout()).
+            parts = [douts[-1], ctx] + ([lm_raw] if lm_raw is not None
+                                        else [])
+            out_t = jnp.concatenate(parts, axis=-1)
+            new_carry = (tuple(new_states), aw_new, ctx, None, lm_state)
+            return new_carry, (out_t, aw)
+
+        logits_t = self._generate(douts[-1], ctx, lm_raw, deterministic)
         new_carry = (tuple(new_states), aw_new, ctx, logits_t, lm_state)
         return new_carry, (logits_t, aw)
+
+    def hoists_readout(self, deterministic: bool) -> bool:
+        """True when the scan emits readout INPUTS (no in-scan logits) —
+        only scheduled sampling needs per-step logits in the carry."""
+        return self.ss_prob == 0 or deterministic
+
+    def _generate(self, dout, ctx, lm_raw, deterministic: bool):
+        """Readout + output head (reference generate() las.py:852-881:
+        dec_feat = W([dout, cv]); lm_feat = W(h_lm) (or W(lm log-probs) for
+        cold_prob); gate = sigmoid(W([dec_feat, lm_feat]));
+        attn_v = tanh(W([dec_feat, gate*lm_feat])))."""
+        if self.lm_fusion:
+            dec_feat = self.w_dec_feat(
+                jnp.concatenate([dout, ctx], axis=-1))
+            lm_feat = self.w_lm(lm_raw)
+            gate = jax.nn.sigmoid(self.w_gate(
+                jnp.concatenate([dec_feat, lm_feat], axis=-1)))
+            attn_v = jnp.tanh(self.w_gen(jnp.concatenate(
+                [dec_feat, gate * lm_feat], axis=-1)))
+        else:
+            # readout order [dout, cv] (reference :879)
+            attn_v = jnp.tanh(self.w_gen(
+                jnp.concatenate([dout, ctx], axis=-1)))
+        attn_v = self.drop(attn_v, deterministic=deterministic)
+        return self.output(attn_v)
+
+    def readout(self, out_t, deterministic: bool = True):
+        """Batched readout over hoisted scan outputs out_t
+        [..., qdim + enc_n_units (+ lm_raw)] -> logits [..., vocab]."""
+        qdim = self.n_projs if self.n_projs > 0 else self.n_units
+        dout = out_t[..., :qdim]
+        ctx = out_t[..., qdim: qdim + self.enc_n_units]
+        lm_raw = out_t[..., qdim + self.enc_n_units:] \
+            if self.lm_fusion else None
+        return self._generate(dout, ctx, lm_raw, deterministic)
 
 
 class RNNDecoder(nn.Module):
@@ -288,17 +332,26 @@ class RNNDecoder(nn.Module):
             self.cif = CIF(enc_dim=self.enc_n_units)
         # attention key projection hoisted out of the scan
         if self.attn_type == "mocha":
+            # biases match the reference energies: w_key has a bias
+            # (monotonic_energy.py:50, chunk_energy.py additive), as does
+            # w_value (mocha.py:121)
             h_ma, h_ca = self.mocha_n_heads_mono, self.mocha_n_heads_chunk
             self.key_proj_mono = nn.Dense(self.attn_dim * h_ma,
-                                          use_bias=False)
+                                          use_bias=True)
             if self.mocha_chunk_size != 1:
                 self.key_proj_chunk = nn.Dense(self.attn_dim * h_ma * h_ca,
-                                               use_bias=False)
-            self.key_proj_value = nn.Dense(self.attn_dim * h_ma * h_ca,
-                                           use_bias=False)
+                                               use_bias=True)
+            # multihead only — with H_total == 1 the context consumes raw
+            # eouts (reference mocha.py:120-122, :289-292)
+            if h_ma * h_ca > 1:
+                self.key_proj_value = nn.Dense(self.attn_dim * h_ma * h_ca,
+                                               use_bias=True)
+            else:
+                self.key_proj_value = None
             self.key_proj = None
         elif self.attn_type in ("location", "add"):
-            self.key_proj = nn.Dense(self.attn_dim, use_bias=False)
+            # reference w_key has a bias for add/location (attention.py:41,44)
+            self.key_proj = nn.Dense(self.attn_dim, use_bias=True)
         elif self.attn_type == "luong_general":
             qdim = self.n_projs if self.n_projs > 0 else self.n_units
             self.key_proj = nn.Dense(qdim, use_bias=False)
@@ -310,13 +363,17 @@ class RNNDecoder(nn.Module):
             return eouts
         if self.attn_type == "mocha":
             kc = {"mono": self.key_proj_mono(eouts),
-                  "value": self.key_proj_value(eouts)}
+                  "value": self.key_proj_value(eouts)
+                  if self.key_proj_value is not None else eouts}
             if self.mocha_chunk_size != 1:
                 kc["chunk"] = self.key_proj_chunk(eouts)
             return kc
         return self.key_proj(eouts) if self.key_proj is not None else eouts
 
-    def init_carry(self, bs: int, tmax: int, dtype=jnp.float32):
+    def init_carry(self, bs: int, tmax: int, dtype=jnp.float32,
+                   need_logits: bool = False):
+        """``need_logits``: carry per-step logits (scheduled sampling only —
+        see ``LASStep.hoists_readout``)."""
         states = tuple(
             (jnp.zeros((bs, self.n_units), dtype),
              jnp.zeros((bs, self.n_units), dtype))
@@ -327,7 +384,7 @@ class RNNDecoder(nn.Module):
         else:
             aw0 = jnp.zeros((bs, tmax), dtype)
         ctx0 = jnp.zeros((bs, self.enc_n_units), dtype)
-        logits0 = jnp.zeros((bs, self.vocab), dtype)
+        logits0 = jnp.zeros((bs, self.vocab), dtype) if need_logits else None
         lm_state0 = [
             (jnp.zeros((bs, self.lm_n_units), dtype),
              jnp.zeros((bs, self.lm_n_units), dtype))
@@ -344,7 +401,9 @@ class RNNDecoder(nn.Module):
         ys_in, ys_out, _ = append_sos_eos(ys, ylens, bwd=self.backward)
         mask = make_pad_mask(elens, tmax)
         key_cache = self._key_cache(eouts)
-        carry = self.init_carry(bs, tmax, eouts.dtype)
+        hoisted = self.step_scan.hoists_readout(deterministic)
+        carry = self.init_carry(bs, tmax, eouts.dtype,
+                                need_logits=not hoisted)
         if trigger_points is not None and (
                 self.attn_type == "triggered" or
                 (self.attn_type == "mocha" and self.latency_metric == "decot")):
@@ -378,9 +437,12 @@ class RNNDecoder(nn.Module):
         else:
             ctx_steps = jnp.zeros(
                 (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
-        carry, (logits, aws) = self.step_scan(
+        carry, (outs, aws) = self.step_scan(
             carry, ys_in, trig, ctx_steps, key_cache, eouts, mask,
             deterministic)
+        # hoisted readout: ONE batched matmul pair over all steps
+        logits = self.step_scan.readout(outs, deterministic) if hoisted \
+            else outs
         loss, nll = cross_entropy_lsm(logits, ys_out, self.lsm_prob,
                                       ignore_index=PAD)
         if "loss_quantity" in obs_extra:
@@ -469,8 +531,9 @@ class RNNDecoder(nn.Module):
         else:
             ctx_steps = jnp.zeros(
                 (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
-        _, (logits, _) = self.step_scan(
+        _, (outs, _) = self.step_scan(
             carry, ys_in, trig, ctx_steps, key_cache, eouts, mask, True)
+        logits = self.step_scan.readout(outs, True)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         tok_lp = jnp.take_along_axis(
             lp, jnp.maximum(ys_out, 0)[..., None], axis=-1)[..., 0]
@@ -482,8 +545,9 @@ class RNNDecoder(nn.Module):
         training scan (scan over one step)."""
         trig = jnp.full((y_t.shape[0], 1), eouts.shape[1] - 1, jnp.int32)
         ctx0 = jnp.zeros((y_t.shape[0], 1, self.enc_n_units), eouts.dtype)
-        carry, (logits, aws) = self.step_scan(
+        carry, (outs, aws) = self.step_scan(
             carry, y_t[:, None], trig, ctx0, key_cache, eouts, mask, True)
+        logits = self.step_scan.readout(outs, True)
         return carry, logits[:, 0], aws[:, 0]
 
     def precompute_keys(self, eouts):
@@ -518,10 +582,10 @@ class RNNDecoder(nn.Module):
             y_dummy, ctx_t = xs_t
             step_carry, y_prev, done = carry
             trig = jnp.full((y_prev.shape[0], 1), tmax - 1, jnp.int32)
-            step_carry, (logits, _) = mdl(
+            step_carry, (outs, _) = mdl(
                 step_carry, y_prev[:, None], trig, ctx_t[:, None],
                 key_cache, eouts, mask, True)
-            logits = logits[:, 0]
+            logits = mdl.readout(outs, True)[:, 0]
             y = jnp.argmax(logits, -1).astype(jnp.int32)
             y = jnp.where(done, PAD, y)
             done = done | (y == EOS)

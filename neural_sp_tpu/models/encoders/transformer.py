@@ -35,14 +35,19 @@ from ..modules.positional_embedding import PositionalEncoding
 from .conv import ConvEncoder
 from .subsampling import build_subsampler
 from .utils import chunkwise, chunkwise_merge
+from ...ops.dropout import Dropout
 
 
 def _make_mha(pe_type: str, d_model: int, n_heads: int, dropout: float,
               clamp_len: int, name: str):
     if pe_type in ("relative", "relative_xl"):
+        # 'relative' (the flagship conformer): pos via w_value, no u/v
+        # biases; 'relative_xl': separate w_pos + u/v biases (reference
+        # transformer.py:215-218, :366)
         return RelativeMultiheadAttention(
             d_model=d_model, n_heads=n_heads, dropout=dropout,
-            clamp_len=clamp_len, name=name)
+            clamp_len=clamp_len, xl_like=(pe_type == "relative_xl"),
+            name=name)
     return MultiheadAttention(d_model=d_model, n_heads=n_heads,
                               dropout=dropout, name=name)
 
@@ -85,7 +90,7 @@ class EncoderBlock(nn.Module):
             h = FFN(self.d_model, self.d_ff, self.dropout,
                     self.ffn_activation, self.ffn_bottleneck_dim,
                     name="ff_macaron")(h, deterministic)
-            xs = drop_path(xs + fx * nn.Dropout(self.dropout)(
+            xs = drop_path(xs + fx * Dropout(self.dropout)(
                 h, deterministic=deterministic), xs)
 
         def conv_module(xs, conv_cache):
@@ -95,7 +100,7 @@ class EncoderBlock(nn.Module):
                 self.conv_normalization, name="conv")(
                 h, pad_mask, conv_cache, deterministic, conv_cur_len)
             return drop_path(
-                xs + nn.Dropout(self.dropout)(h, deterministic=deterministic),
+                xs + Dropout(self.dropout)(h, deterministic=deterministic),
                 xs), cc
 
         if self.btype == "conformer_v2":
@@ -115,7 +120,7 @@ class EncoderBlock(nn.Module):
                              return_weights=return_weights)
         new_caches["kv"] = kv
         xs = drop_path(
-            xs + nn.Dropout(self.dropout)(h, deterministic=deterministic), xs)
+            xs + Dropout(self.dropout)(h, deterministic=deterministic), xs)
 
         if self.btype == "conformer":
             xs, new_caches["conv"] = conv_module(xs, conv_cache)
@@ -124,7 +129,7 @@ class EncoderBlock(nn.Module):
         h = FFN(self.d_model, self.d_ff, self.dropout, self.ffn_activation,
                 self.ffn_bottleneck_dim, name="ff")(h, deterministic)
         xs = drop_path(
-            xs + fx * nn.Dropout(self.dropout)(h, deterministic=deterministic),
+            xs + fx * Dropout(self.dropout)(h, deterministic=deterministic),
             xs)
         if is_conf:
             xs = nn.LayerNorm(name="norm_final")(xs)
@@ -208,7 +213,7 @@ class XformerEncoder(nn.Module):
             self.d_model,
             "add" if self.pe_type in ("add", "1dconv3L_add") else "none",
             self.dropout)
-        self.drop_in = nn.Dropout(self.dropout_in)
+        self.drop_in = Dropout(self.dropout_in)
         # trade FLOPs for HBM: recompute each block in the backward
         block_cls = nn.remat(
             EncoderBlock, static_argnums=(5, 6, 7)) if self.remat \

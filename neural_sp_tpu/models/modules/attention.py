@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.masks import apply_mask_logits
+from ...ops.dropout import Dropout
 
 
 class AttentionMechanism(nn.Module):
@@ -32,7 +33,8 @@ class AttentionMechanism(nn.Module):
     def setup(self):
         a = self.atype
         if a in ("location", "add"):
-            self.w_key = nn.Dense(self.adim, use_bias=False,
+            # reference w_key HAS a bias for add/location (attention.py:41,44)
+            self.w_key = nn.Dense(self.adim, use_bias=True,
                                   param_dtype=self.param_dtype)
             self.w_query = nn.Dense(self.adim, use_bias=False,
                                     param_dtype=self.param_dtype)
@@ -43,6 +45,11 @@ class AttentionMechanism(nn.Module):
                                 use_bias=False, param_dtype=self.param_dtype)
             self.w_conv = nn.Dense(self.adim, use_bias=False,
                                    param_dtype=self.param_dtype)
+        if a == "dot":
+            self.w_key = nn.Dense(self.adim, use_bias=False,
+                                  param_dtype=self.param_dtype)
+            self.w_query = nn.Dense(self.adim, use_bias=False,
+                                    param_dtype=self.param_dtype)
         if a == "luong_general":
             self.w_key = nn.Dense(self.qdim, use_bias=False,
                                   param_dtype=self.param_dtype)
@@ -50,11 +57,11 @@ class AttentionMechanism(nn.Module):
             self.w_cat = nn.Dense(self.adim, use_bias=False,
                                   param_dtype=self.param_dtype)
             self.v = nn.Dense(1, use_bias=False, param_dtype=self.param_dtype)
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = Dropout(self.dropout)
 
     def precompute(self, key: jnp.ndarray) -> jnp.ndarray:
         """Project keys once per utterance: [B, Tk, kdim] -> key_cache."""
-        if self.atype in ("location", "add", "luong_general"):
+        if self.atype in ("location", "add", "dot", "luong_general"):
             return self.w_key(key)
         return key
 
@@ -82,10 +89,11 @@ class AttentionMechanism(nn.Module):
         elif self.atype == "add":
             q = self.w_query(query)
             e = self.v(jnp.tanh(key_cache + q[:, None]))[..., 0]
-        elif self.atype in ("dot", "luong_dot", "luong_general"):
+        elif self.atype == "dot":
+            # reference 'dot' is unscaled (attention.py:115)
+            e = jnp.einsum("bd,bkd->bk", self.w_query(query), key_cache)
+        elif self.atype in ("luong_dot", "luong_general"):
             e = jnp.einsum("bd,bkd->bk", query, key_cache)
-            if self.atype == "dot":
-                e = e / jnp.sqrt(jnp.asarray(self.adim, e.dtype))
         elif self.atype == "luong_concat":
             q = jnp.broadcast_to(query[:, None], (bs, tk, query.shape[-1]))
             e = self.v(jnp.tanh(self.w_cat(

@@ -133,33 +133,31 @@ def hard_chunkwise_attention(alpha, chunk_energy, chunk_size: int):
 
 
 class MonotonicEnergy(nn.Module):
-    """Energy for boundary prediction (reference monotonic_energy.py):
-    scaled-dot or additive, with learned offset bias r (init negative so
-    early training rarely fires) and optional scale."""
+    """Energy for boundary prediction (reference monotonic_energy.py:93-156):
+    additive ``v . relu(Wk k + bk + Wq q)`` (w_key HAS a bias, w_query does
+    not — :50-52) or scaled-dot ``(q.k)/sqrt(adim)`` (both biased, :54-55),
+    plus the learned offset ``r`` (init negative so early training rarely
+    fires). The reference's weight-norm on v folds into the converted v."""
     kdim: int
     qdim: int
     adim: int
     n_heads: int = 1
     atype: str = "add"
     init_r: float = -4.0
-    use_scale: bool = True
     conv1d: bool = False
     external_key: bool = False   # key projection hoisted out (scan-friendly)
 
     def setup(self):
         if not self.external_key:
-            self.w_key = nn.Dense(self.adim * self.n_heads, use_bias=False)
-        self.w_query = nn.Dense(self.adim * self.n_heads, use_bias=False)
+            self.w_key = nn.Dense(self.adim * self.n_heads, use_bias=True)
+        self.w_query = nn.Dense(self.adim * self.n_heads,
+                                use_bias=(self.atype == "scaled_dot"))
         if self.atype == "add":
             self.v = self.param(
                 "v", nn.initializers.lecun_normal(),
                 (self.n_heads, self.adim))
         self.r = self.param("r", lambda k: jnp.full((self.n_heads,),
                                                     self.init_r))
-        if self.use_scale:
-            self.scale = self.param(
-                "scale", lambda k: jnp.full(
-                    (), 1.0 / np.sqrt(self.adim), jnp.float32))
         if self.conv1d:
             self.conv = nn.Conv(self.kdim, (5,), padding=[(4, 0)])
 
@@ -176,16 +174,16 @@ class MonotonicEnergy(nn.Module):
         k = key_cache.reshape(bs, t, self.n_heads, self.adim)
         q = self.w_query(query).reshape(bs, self.n_heads, self.adim)
         if self.atype == "add":
-            e = jnp.einsum("ha,btha->bht", self.v, jnp.tanh(k + q[:, None]))
+            e = jnp.einsum("ha,btha->bht", self.v,
+                           jax.nn.relu(k + q[:, None]))
         else:
-            e = jnp.einsum("bha,btha->bht", q, k)
-        if self.use_scale:
-            e = e * self.scale
+            e = jnp.einsum("bha,btha->bht", q, k) / np.sqrt(self.adim)
         return e + self.r[None, :, None]
 
 
 class ChunkEnergy(nn.Module):
-    """Chunkwise attention energy (reference chunk_energy.py)."""
+    """Chunkwise attention energy (reference chunk_energy.py:40-125):
+    additive ``v . relu(Wk k + bk + Wq q)`` or scaled-dot."""
     kdim: int
     qdim: int
     adim: int
@@ -195,8 +193,9 @@ class ChunkEnergy(nn.Module):
 
     def setup(self):
         if not self.external_key:
-            self.w_key = nn.Dense(self.adim * self.n_heads, use_bias=False)
-        self.w_query = nn.Dense(self.adim * self.n_heads, use_bias=False)
+            self.w_key = nn.Dense(self.adim * self.n_heads, use_bias=True)
+        self.w_query = nn.Dense(self.adim * self.n_heads,
+                                use_bias=(self.atype == "scaled_dot"))
         if self.atype == "add":
             self.v = self.param(
                 "v", nn.initializers.lecun_normal(),
@@ -211,7 +210,7 @@ class ChunkEnergy(nn.Module):
         q = self.w_query(query).reshape(bs, self.n_heads, self.adim)
         if self.atype == "add":
             return jnp.einsum("ha,btha->bht", self.v,
-                              jnp.tanh(k + q[:, None]))
+                              jax.nn.relu(k + q[:, None]))
         return jnp.einsum("bha,btha->bht", q, k) / np.sqrt(self.adim)
 
 
@@ -247,16 +246,24 @@ class MoChA(nn.Module):
                 self.kdim, self.qdim, self.adim,
                 self.n_heads_mono * self.n_heads_chunk, self.atype,
                 external_key=self.external_keys)
-        if not self.external_keys:
-            self.w_value = nn.Dense(self.adim * self.n_heads_mono *
-                                    self.n_heads_chunk, use_bias=False)
-        self.w_out = nn.Dense(self.kdim, use_bias=False)
+        # reference mocha.py:120-122 — value/out projections exist only for
+        # the multihead case; with H_total == 1 the context is the raw
+        # value weighted by alpha/beta (:289-292)
+        if self.n_heads_mono * self.n_heads_chunk > 1:
+            if not self.external_keys:
+                self.w_value = nn.Dense(self.adim * self.n_heads_mono *
+                                        self.n_heads_chunk, use_bias=True)
+            self.w_out = nn.Dense(self.kdim, use_bias=True)
 
     def precompute(self, key):
         out = {"mono": self.monotonic_energy.precompute(key)}
         if self.chunk_size != 1:
             out["chunk"] = self.chunk_energy.precompute(key)
-        out["value"] = key if self.external_keys else self.w_value(key)
+        if self.n_heads_mono * self.n_heads_chunk > 1 and \
+                not self.external_keys:
+            out["value"] = self.w_value(key)
+        else:
+            out["value"] = key
         return out
 
     def init_alpha(self, bs: int, tmax: int, dtype=jnp.float32):
@@ -319,11 +326,16 @@ class MoChA(nn.Module):
                     in_axes=2, out_axes=2)(
                     a4.repeat(h_ca, 2), e_chunk)
 
-        # context: per (mono, chunk) head value slice weighted by beta
-        v = key_cache["value"].reshape(bs, t, h_ma * h_ca, self.adim)
-        ctx = jnp.einsum("bit,btid->bid",
-                         beta.reshape(bs, h_ma * h_ca, t), v)
-        ctx = self.w_out(ctx.reshape(bs, -1))
+        # context (reference :283-292): multihead = per-head value slices
+        # projected through w_out; single head = raw value weighted directly
+        if h_ma * h_ca > 1:
+            v = key_cache["value"].reshape(bs, t, h_ma * h_ca, self.adim)
+            ctx = jnp.einsum("bit,btid->bid",
+                             beta.reshape(bs, h_ma * h_ca, t), v)
+            ctx = self.w_out(ctx.reshape(bs, -1))
+        else:
+            ctx = jnp.einsum("bt,btd->bd",
+                             beta.reshape(bs, t), key_cache["value"])
         return ctx, alpha, beta
 
 

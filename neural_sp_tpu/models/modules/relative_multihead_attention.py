@@ -5,9 +5,18 @@ Reference: ``neural_sp/models/modules/relative_multihead_attention.py:21-220``
 
 TPU-first redesign: instead of the pad/reshape ``_rel_shift`` trick (which
 only covers the causal qlen==klen case cleanly), the relative term is
-computed against a (2K-1)-entry signed-distance table and aligned with a
-static gather — one code path for bidirectional encoders, causal decoders,
-and streaming queries with cache offsets, all static-shape under jit.
+computed against a distance table and aligned gather-free — one code path
+for bidirectional encoders, causal decoders, and streaming queries with
+cache offsets, all static-shape under jit.
+
+Numerical parity with the reference: the distance embedding is the
+XL-sinusoid of ``-(|q - k| + 1)`` (``XLPositionalEmbedding`` feeds
+``pos_idxs = -1..-L`` and ``_rel_shift`` indexes it by ABSOLUTE clamped
+distance — positional_embedding.py:135-138, relative_multihead_attention.py
+:125-145), with the XL concatenated [sin | cos] layout. ``xl_like=False``
+(pe_type 'relative', the flagship conformer) projects positions through
+``w_value`` and uses NO u/v biases; ``xl_like=True`` ('relative_xl') uses a
+separate ``w_pos`` plus the global u/v biases (forward :174-199).
 """
 from __future__ import annotations
 
@@ -19,20 +28,23 @@ from jax import lax
 
 from ...ops.masks import apply_mask_logits
 from .multihead_attention import headdrop
-from .positional_embedding import sinusoidal_table
+from ...ops.dropout import Dropout
 
 
 def _signed_rel_table(klen: int, d_model: int, clamp_len: int) -> np.ndarray:
-    """[2K-1, d_model] sinusoidal embeddings of distances -(K-1)..K-1."""
+    """[2K-1, d_model] XL-sinusoid embeddings indexed by SIGNED distance
+    -(K-1)..K-1; entry value depends on the ABSOLUTE distance (reference
+    ``_rel_shift`` gathers ``pos_embs[|q-k|]`` where pos_embs[j] is the
+    sinusoid of -(j+1))."""
     dist = np.arange(-(klen - 1), klen, dtype=np.float32)
     if clamp_len > 0:
         dist = np.clip(dist, -clamp_len, clamp_len)
+    pos = -(np.abs(dist) + 1.0)
     inv = np.exp(np.arange(0, d_model, 2, np.float32)
                  * -(np.log(10000.0) / d_model))
-    tab = np.zeros((len(dist), d_model), np.float32)
-    tab[:, 0::2] = np.sin(dist[:, None] * inv)
-    tab[:, 1::2] = np.cos(dist[:, None] * inv)
-    return tab
+    ang = pos[:, None] * inv
+    return np.concatenate([np.sin(ang), np.cos(ang)],
+                          axis=-1).astype(np.float32)
 
 
 class RelativeMultiheadAttention(nn.Module):
@@ -42,6 +54,8 @@ class RelativeMultiheadAttention(nn.Module):
     dropout_head: float = 0.0
     clamp_len: int = -1
     bias: bool = True
+    xl_like: bool = True   # True: w_pos + u/v biases ('relative_xl');
+    #                        False: pos via w_value, no biases ('relative')
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,13 +65,14 @@ class RelativeMultiheadAttention(nn.Module):
         dk = self.d_model // h
         bs, tq, _ = query.shape
 
+        w_value = nn.Dense(self.d_model, use_bias=self.bias, name="w_value",
+                           param_dtype=self.param_dtype)
         q = nn.Dense(self.d_model, use_bias=self.bias, name="w_query",
                      param_dtype=self.param_dtype)(query).reshape(bs, tq, h, dk)
         k_in = key if key is not None else query
         k = nn.Dense(self.d_model, use_bias=self.bias, name="w_key",
                      param_dtype=self.param_dtype)(k_in)
-        v = nn.Dense(self.d_model, use_bias=self.bias, name="w_value",
-                     param_dtype=self.param_dtype)(k_in)
+        v = w_value(k_in)
         k = k.reshape(bs, k_in.shape[1], h, dk)
         v = v.reshape(bs, k_in.shape[1], h, dk)
         if cache is not None:
@@ -66,13 +81,24 @@ class RelativeMultiheadAttention(nn.Module):
         new_cache = {"k": k, "v": v}
         klen = k.shape[1]
 
-        u_bias = self.param("u_bias", nn.initializers.zeros, (h, dk),
-                            self.param_dtype).astype(q.dtype)
-        v_bias = self.param("v_bias", nn.initializers.zeros, (h, dk),
-                            self.param_dtype).astype(q.dtype)
+        if self.xl_like:
+            u_bias = self.param("u_bias", nn.initializers.zeros, (h, dk),
+                                self.param_dtype).astype(q.dtype)
+            v_bias = self.param("v_bias", nn.initializers.zeros, (h, dk),
+                                self.param_dtype).astype(q.dtype)
+            q_ac = q + u_bias[None, None]
+            q_bd = q + v_bias[None, None]
+            w_rel = nn.Dense(self.d_model, use_bias=False, name="w_pos",
+                             param_dtype=self.param_dtype)
+        else:
+            # reference 'relative': no biases; positions share w_value
+            # (relative_multihead_attention.py:177-179)
+            q_ac = q
+            q_bd = q
+            w_rel = w_value
 
         # content term
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias[None, None], k)
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_ac, k)
 
         # position term. NEVER a gather here: TPU gathers (and the scatter
         # in their transpose) run on the scalar unit and serialise the
@@ -85,26 +111,23 @@ class RelativeMultiheadAttention(nn.Module):
         #     pad-flatten-reshape SKEW (pure reshapes/slices).
         if 0 < self.clamp_len < klen - 1:
             c = self.clamp_len
+            # |distance| clamped to c: only c+1 distinct embeddings
             rel = jnp.asarray(
-                _signed_rel_table(c + 1, self.d_model, c), q.dtype)
-            r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
-                         param_dtype=self.param_dtype)(rel)  # [2c+1, D]
-            r = r.reshape(2 * c + 1, h, dk)
-            bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
+                _signed_rel_table(c + 1, self.d_model, c)[c:], q.dtype)
+            r = w_rel(rel).reshape(c + 1, h, dk)       # [c+1, H, dk]
+            bd_all = jnp.einsum("bqhd,rhd->bhqr", q_bd, r)
             qi = lax.broadcasted_iota(jnp.int32, (tq, klen), 0) + (klen - tq)
             kj = lax.broadcasted_iota(jnp.int32, (tq, klen), 1)
-            idx = jnp.clip(qi - kj, -c, c) + c
-            onehot = jax.nn.one_hot(idx, 2 * c + 1, dtype=q.dtype)
+            idx = jnp.minimum(jnp.abs(qi - kj), c)
+            onehot = jax.nn.one_hot(idx, c + 1, dtype=q.dtype)
             bd = jnp.einsum("bhqr,qkr->bhqk", bd_all, onehot)
         else:
             rel = jnp.asarray(
                 _signed_rel_table(klen, self.d_model, self.clamp_len),
                 q.dtype)
-            r = nn.Dense(self.d_model, use_bias=False, name="w_pos",
-                         param_dtype=self.param_dtype)(rel)  # [2K-1, D]
             nrel = 2 * klen - 1
-            r = r.reshape(nrel, h, dk)
-            bd_all = jnp.einsum("bqhd,rhd->bhqr", q + v_bias[None, None], r)
+            r = w_rel(rel).reshape(nrel, h, dk)
+            bd_all = jnp.einsum("bqhd,rhd->bhqr", q_bd, r)
             # bd[b,h,q,j] = bd_all[b,h,q, (q + off - j) + (K-1)],
             # off = klen - tq: flatten rows, pad one slot per row, re-chop
             # with row length R+1 — the diagonal alignment becomes a
@@ -125,7 +148,7 @@ class RelativeMultiheadAttention(nn.Module):
         aws = jax.nn.softmax(e.astype(jnp.float32), axis=-1).astype(q.dtype)
         if not deterministic and self.dropout_head > 0:
             aws = headdrop(aws, self.make_rng("dropout"), self.dropout_head)
-        aws_d = nn.Dropout(self.dropout)(aws, deterministic=deterministic)
+        aws_d = Dropout(self.dropout)(aws, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", aws_d, v).reshape(bs, tq, self.d_model)
         out = nn.Dense(self.d_model, use_bias=self.bias, name="w_out",
                        param_dtype=self.param_dtype)(ctx)

@@ -34,8 +34,12 @@ def cross_entropy_lsm(
     ys_safe = jnp.where(mask, ys, 0)
     nll = -jnp.take_along_axis(log_probs, ys_safe[..., None], axis=-1)[..., 0]
     if lsm_prob > 0.0:
-        smooth = -jnp.mean(log_probs, axis=-1)  # KL to uniform (up to const)
-        per_tok = (1.0 - lsm_prob) * nll + lsm_prob * smooth
+        # reference target_dist: (1-lsm) on the target, lsm/(V-1) on each of
+        # the OTHER classes (criterion.py:72-76 — scatter overwrites the
+        # target slot, so the target does NOT receive the uniform share)
+        sum_neg_lp = -jnp.sum(log_probs, axis=-1)
+        per_tok = (1.0 - lsm_prob) * nll + \
+            lsm_prob / (v - 1) * (sum_neg_lp - nll)
     else:
         per_tok = nll
     per_tok = jnp.where(mask, per_tok, 0.0)
@@ -43,7 +47,6 @@ def cross_entropy_lsm(
     denom = n_tok if normalize_length else logits.shape[0]
     loss = jnp.sum(per_tok) / denom
     mean_nll = jnp.sum(jnp.where(mask, nll, 0.0)) / n_tok
-    del v
     return loss, mean_nll
 
 
