@@ -12,17 +12,23 @@ conf=${CONF:?set CONF to the ASR yaml}
 lm_conf=${LM_CONF:-}
 unit=${UNIT:-wp}
 wp_vocab_size=${WP_VOCAB:-10000}
+# 3-way speed perturbation of the train split (reference
+# speed_perturb_3way.sh); set SPEED_PERTURB="" to disable
+speed_perturb=${SPEED_PERTURB:-}
 recog_flags=${RECOG_FLAGS:-"--recog_beam_width 10 --recog_ctc_weight 0.3 --recog_length_norm true"}
 
 if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 0 ]; then
   # expects $data/<split>/{wav.scp,text}; writes feats, dict, TSVs
-  UNIT="$unit" WP_VOCAB="$wp_vocab_size" python - <<'PYEOF'
+  UNIT="$unit" WP_VOCAB="$wp_vocab_size" SPEED_PERTURB="$speed_perturb" \
+    python - <<'PYEOF'
 import os
 from neural_sp_tpu.utils.make_dataset import (
-    extract_features, make_vocab, make_tsv)
+    extract_features, make_vocab, make_tsv, expand_utts_for_speed)
 data = os.environ.get("DATA", "./data")
 unit = os.environ.get("UNIT", "wp")
 wp = int(os.environ.get("WP_VOCAB", 10000))
+sp = tuple(float(f) for f in
+           os.environ.get("SPEED_PERTURB", "").split("_") if f)
 cmvn = None
 splits = [s for s in sorted(os.listdir(data))
           if os.path.isfile(os.path.join(data, s, "wav.scp"))]
@@ -39,11 +45,14 @@ for split in splits:
     if split.startswith("train"):
         make_vocab(list(text.values()), unit, f"{data}/dict_{unit}.txt",
                    wp, wp_model_path=wp_model)
+    is_train = split.startswith("train")
     paths, lens, cmvn = extract_features(
-        wav_scp, f"{d}/feat", cmvn=cmvn if not split.startswith("train")
-        else None)
+        wav_scp, f"{d}/feat", cmvn=None if is_train else cmvn,
+        speed_perturbs=sp if is_train else ())
     utts = [{"utt_id": u, "speaker": u.split("-")[0], "text": t}
             for u, t in text.items()]
+    if is_train and sp:
+        utts = expand_utts_for_speed(utts, sp)
     make_tsv(utts, paths, lens, f"{data}/dict_{unit}.txt", unit,
              f"{data}/{split}_{unit}.tsv", wp_model=wp_model)
 PYEOF

@@ -10,18 +10,23 @@ exp=${EXP:-./exp}
 conf=${CONF:-conf/asr/conformer_kernel15_clamp10_hie_subsample8_las_ln_large.yaml}
 lm_conf=${LM_CONF:-conf/lm/rnnlm.yaml}
 wp_vocab_size=${WP_VOCAB:-10000}
+# flagship "+sp": 3-way speed perturbation of the train split
+# (reference run.sh:138-147 + utils/speed_perturb_3way.sh)
+speed_perturb=${SPEED_PERTURB:-0.9_1.0_1.1}
 
 # Stage 0/1/2: download + feature extraction + vocab + TSVs.
 # Host-side prep uses neural_sp_tpu.utils.make_dataset (fbank+CMVN+BPE in
 # pure Python/JAX — no Kaldi). Provide wav.scp + text per split under
 # $data/<split>/ then:
 if [ $stage -le 2 ] && [ $stop_stage -ge 0 ]; then
-  python - <<'EOF'
+  SPEED_PERTURB="$speed_perturb" python - <<'EOF'
 import os, sys
 from neural_sp_tpu.utils.make_dataset import (
-    extract_features, make_vocab, make_tsv)
+    extract_features, make_vocab, make_tsv, expand_utts_for_speed)
 data = os.environ.get("DATA", "./data")
 wp = int(os.environ.get("WP_VOCAB", 10000))
+sp = tuple(float(f) for f in
+           os.environ.get("SPEED_PERTURB", "").split("_") if f)
 cmvn = None
 texts = []
 for split in ("train", "dev", "test"):
@@ -36,10 +41,14 @@ for split in ("train", "dev", "test"):
         texts = list(text.values())
         make_vocab(texts, "wp", f"{data}/dict_wp.txt", wp,
                    wp_model_path=f"{data}/wp.json")
+    is_train = split == "train"
     paths, lens, cmvn = extract_features(
-        wav_scp, f"{d}/feat", cmvn=cmvn if split != "train" else None)
+        wav_scp, f"{d}/feat", cmvn=None if is_train else cmvn,
+        speed_perturbs=sp if is_train else ())
     utts = [{"utt_id": u, "speaker": u.split("-")[0], "text": t}
             for u, t in text.items()]
+    if is_train and sp:
+        utts = expand_utts_for_speed(utts, sp)
     make_tsv(utts, paths, lens, f"{data}/dict_wp.txt", "wp",
              f"{data}/{split}_wp.tsv", wp_model=f"{data}/wp.json")
 EOF

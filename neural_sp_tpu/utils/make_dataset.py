@@ -19,18 +19,53 @@ TSV_COLUMNS = ["utt_id", "speaker", "feat_path", "xlen", "xdim", "text",
                "token_id", "ylen", "ydim"]
 
 
+def speed_perturb_wave(x: np.ndarray, factor: float) -> np.ndarray:
+    """sox-style ``speed`` perturbation (resample: duration /= factor,
+    pitch *= factor) — reference ``utils/speed_perturb_3way.sh:1-40``
+    applies sox speed 0.9/1.0/1.1 at the feature stage."""
+    if factor == 1.0:
+        return x
+    n_out = int(round(len(x) / factor))
+    idx = np.arange(n_out, dtype=np.float64) * factor
+    return np.interp(idx, np.arange(len(x)), x).astype(np.float32)
+
+
+def sp_utt_id(utt: str, factor: float) -> str:
+    """Kaldi/reference naming: 'sp0.9-<utt>'; 1.0 keeps the original id."""
+    return utt if factor == 1.0 else f"sp{factor:g}-{utt}"
+
+
+def expand_utts_for_speed(utts: list[dict], factors) -> list[dict]:
+    """Duplicate utterance records per perturbation factor (train set)."""
+    out = []
+    for f in factors:
+        for u in utts:
+            u2 = dict(u)
+            u2["utt_id"] = sp_utt_id(u["utt_id"], f)
+            out.append(u2)
+    return out
+
+
 def extract_features(
     wav_scp: dict[str, str],
     feat_dir: str,
     n_mels: int = 80,
     cmvn: tuple | None = None,
+    speed_perturbs=(),
 ) -> tuple[dict[str, str], dict[str, int], tuple]:
-    """wav_scp: utt_id -> wav path. Returns (feat paths, lens, cmvn)."""
+    """wav_scp: utt_id -> wav path. Returns (feat paths, lens, cmvn).
+
+    ``speed_perturbs``: e.g. (0.9, 1.0, 1.1) — 3-way speed perturbation
+    (train set only; reference run.sh:138-147 + speed_perturb_3way.sh);
+    perturbed copies get 'sp<f>-' utt-id prefixes."""
     os.makedirs(feat_dir, exist_ok=True)
+    factors = tuple(speed_perturbs) or (1.0,)
     raw = {}
     for utt, path in wav_scp.items():
         x, sr = read_wav(path)
-        raw[utt] = logmel_fbank_np(x, sample_rate=sr, n_mels=n_mels)
+        for f in factors:
+            raw[sp_utt_id(utt, f)] = logmel_fbank_np(
+                speed_perturb_wave(x, f), sample_rate=sr, n_mels=n_mels)
     if cmvn is None:
         cmvn = compute_cmvn_stats(list(raw.values()))
     mean, std = cmvn
