@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.masks import make_pad_mask
+from ..ops.dropout import Dropout
 
 
 class SequenceSummaryNetwork(nn.Module):
@@ -21,7 +22,7 @@ class SequenceSummaryNetwork(nn.Module):
         h = xs
         for i in range(self.n_layers - 1):
             h = nn.tanh(nn.Dense(self.n_units, name=f"fc{i}")(h))
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = Dropout(self.dropout)(h, deterministic=deterministic)
         mask = make_pad_mask(xlens, xs.shape[1]).astype(xs.dtype)[..., None]
         mean = jnp.sum(h * mask, axis=1) / jnp.maximum(
             jnp.sum(mask, axis=1), 1.0)

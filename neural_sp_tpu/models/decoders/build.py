@@ -32,9 +32,12 @@ def build_decoder(args, vocab: int, enc_n_units: int,
         from .transformer import TransformerDecoder
         return TransformerDecoder(
             vocab=vocab, enc_n_units=enc_n_units,
-            d_model=_get(args, "transformer_d_model", 256),
-            d_ff=_get(args, "transformer_d_ff", 2048),
-            n_heads=_get(args, "transformer_n_heads", 4),
+            d_model=_get(args, "transformer_dec_d_model",
+                         _get(args, "transformer_d_model", 256)),
+            d_ff=_get(args, "transformer_dec_d_ff",
+                      _get(args, "transformer_d_ff", 2048)),
+            n_heads=_get(args, "transformer_dec_n_heads",
+                         _get(args, "transformer_n_heads", 4)),
             n_layers=_get(args, "dec_n_layers", 6),
             pe_type=_get(args, "transformer_dec_pe_type", "add"),
             dropout=_get(args, "dropout_dec", 0.1),

@@ -22,6 +22,7 @@ import flax.linen as nn
 from ... import BLANK, EOS
 from ...ops.ctc import ctc_loss, ctc_forced_align
 from ...ops.criterion import kldiv_lsm_ctc
+from ...ops.dropout import Dropout
 
 LOG0 = -1.0e10
 
@@ -39,7 +40,7 @@ class CTC(nn.Module):
         if self.fc_list:
             for i, dim in enumerate(int(d) for d in self.fc_list.split("_")):
                 h = nn.relu(nn.Dense(dim, name=f"fc{i}")(h))
-                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+                h = Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.vocab, name="output")(h)
 
     def __call__(self, eouts, elens, ys, ylens, deterministic: bool = True):

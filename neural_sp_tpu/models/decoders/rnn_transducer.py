@@ -17,6 +17,7 @@ import flax.linen as nn
 from ... import BLANK, EOS, PAD
 from ...ops.rnnt import rnnt_loss_from_logits
 from ..modules.recurrent import RNNLayer
+from ...ops.dropout import Dropout
 
 
 class RNNTransducer(nn.Module):
@@ -44,8 +45,8 @@ class RNNTransducer(nn.Module):
         self.w_enc = nn.Dense(self.joint_dim, name="w_enc")
         self.w_pred = nn.Dense(self.joint_dim, use_bias=False, name="w_pred")
         self.output = nn.Dense(self.vocab, name="output")
-        self.drop = nn.Dropout(self.dropout)
-        self.drop_emb = nn.Dropout(self.dropout_emb)
+        self.drop = Dropout(self.dropout)
+        self.drop_emb = Dropout(self.dropout_emb)
 
     def pred_net(self, ys_in, carry=None, deterministic: bool = True):
         """ys_in: [B, U'] token ids -> ([B, U', d_pred], new_carry)."""

@@ -24,6 +24,7 @@ from ..modules.multihead_attention import MultiheadAttention
 from ..modules.feed_forward import FFN
 from ..modules.positional_embedding import PositionalEncoding
 from ..utils import append_sos_eos
+from ...ops.dropout import Dropout
 
 
 class TransformerDecoderBlock(nn.Module):
@@ -53,7 +54,7 @@ class TransformerDecoderBlock(nn.Module):
             dropout=self.dropout_att, name="self_attn")(
             h, h, h, self_mask, self_cache, deterministic)
         new_cache["self"] = kv
-        ys = ys + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        ys = ys + Dropout(self.dropout)(h, deterministic=deterministic)
 
         aws = None
         if eouts is not None and self.src_atype == "mocha":
@@ -86,7 +87,7 @@ class TransformerDecoderBlock(nn.Module):
                 alpha_prev, h, kc, pad_1d, deterministic)
             new_cache["alpha"] = alpha_new
             aws = alphas  # [B, U, H, T]
-            ys = ys + nn.Dropout(self.dropout)(ctx,
+            ys = ys + Dropout(self.dropout)(ctx,
                                                deterministic=deterministic)
         elif eouts is not None:
             h = nn.LayerNorm(name="norm_src")(ys)
@@ -104,12 +105,12 @@ class TransformerDecoderBlock(nn.Module):
                     h, eouts, eouts, src_mask, None, deterministic,
                     return_weights=return_weights)
                 new_cache["src"] = src_kv
-            ys = ys + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            ys = ys + Dropout(self.dropout)(h, deterministic=deterministic)
 
         h = nn.LayerNorm(name="norm_ff")(ys)
         h = FFN(self.d_model, self.d_ff, self.dropout, self.ffn_activation,
                 name="ff")(h, deterministic)
-        ys = ys + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        ys = ys + Dropout(self.dropout)(h, deterministic=deterministic)
         return ys, new_cache, aws
 
 

@@ -66,9 +66,14 @@ def build_encoder(args):
         return XformerEncoder(
             input_dim=args.input_dim,
             btype=btype,
-            d_model=_get(args, "transformer_d_model", 256),
-            d_ff=_get(args, "transformer_d_ff", 2048),
-            n_heads=_get(args, "transformer_n_heads", 4),
+            # accept both the generic and the encoder-specific reference
+            # flag spellings (transformer_enc_d_model etc., args_asr.py)
+            d_model=_get(args, "transformer_enc_d_model",
+                         _get(args, "transformer_d_model", 256)),
+            d_ff=_get(args, "transformer_enc_d_ff",
+                      _get(args, "transformer_d_ff", 2048)),
+            n_heads=_get(args, "transformer_enc_n_heads",
+                         _get(args, "transformer_n_heads", 4)),
             n_layers=_get(args, "enc_n_layers", 12),
             n_layers_sub1=_get(args, "enc_n_layers_sub1", 0),
             n_layers_sub2=_get(args, "enc_n_layers_sub2", 0),

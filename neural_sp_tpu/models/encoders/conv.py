@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import flax.linen as nn
+from ...ops.dropout import Dropout
 
 
 @dataclass
@@ -81,7 +82,7 @@ class Conv2dBlock(nn.Module):
                 xs = nn.BatchNorm(use_running_average=deterministic,
                                   name=f"norm{i+1}")(xs)
             xs = nn.relu(xs)
-            xs = nn.Dropout(self.dropout)(xs, deterministic=deterministic)
+            xs = Dropout(self.dropout)(xs, deterministic=deterministic)
         if max(self.pooling) > 1:
             xs = _pool_time(xs, *self.pooling)
         return xs
@@ -108,7 +109,7 @@ class Conv1dBlock(nn.Module):
                 xs = nn.BatchNorm(use_running_average=deterministic,
                                   name=f"norm{i+1}")(xs)
             xs = nn.relu(xs)
-            xs = nn.Dropout(self.dropout)(xs, deterministic=deterministic)
+            xs = Dropout(self.dropout)(xs, deterministic=deterministic)
         if self.pooling > 1:
             b, t, d = xs.shape
             pad = (-t) % self.pooling

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .subsampling import new_lens
+from ...ops.dropout import Dropout
 
 
 class TDSBlock(nn.Module):
@@ -24,15 +25,15 @@ class TDSBlock(nn.Module):
         h = nn.Conv(self.channels, (self.kernel_t, 1), padding="SAME",
                     name="conv")(xs)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         xs = xs + h
         xs = nn.LayerNorm(reduction_axes=(-2, -1), name="norm1")(xs)
         # pointwise 2-layer FC over flattened (F*C)
         hf = xs.reshape(b, t, f * c)
         h = nn.relu(nn.Dense(f * c, name="fc1")(hf))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(f * c, name="fc2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         xs = (hf + h).reshape(b, t, f, c)
         return nn.LayerNorm(reduction_axes=(-2, -1), name="norm2")(xs)
 
@@ -47,7 +48,7 @@ class SubsampleBlock(nn.Module):
         xs = nn.Conv(self.channels, (self.kernel_t, 1), strides=(2, 1),
                      padding="SAME", name="conv")(xs)
         xs = nn.relu(xs)
-        xs = nn.Dropout(self.dropout)(xs, deterministic=deterministic)
+        xs = Dropout(self.dropout)(xs, deterministic=deterministic)
         return nn.LayerNorm(reduction_axes=(-2, -1), name="norm")(xs)
 
 

@@ -9,6 +9,7 @@ import flax.linen as nn
 
 from ... import PAD
 from ...ops.criterion import cross_entropy_lsm, compute_accuracy
+from ...ops.dropout import Dropout
 
 
 class CausalConvGLU(nn.Module):
@@ -41,7 +42,7 @@ class CausalConvGLU(nn.Module):
         h = a * jax.nn.sigmoid(b)
         if self.bottleneck_dim > 0:
             h = nn.Dense(self.channels, name="bn_out")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         if residual.shape[-1] == h.shape[-1]:
             h = (h + residual) * jnp.sqrt(0.5).astype(h.dtype)
         return h, new_cache
@@ -74,7 +75,7 @@ class GatedConvLM(nn.Module):
         self.blocks = blocks
         self.resizes = resizes
         self.output = nn.Dense(self.vocab)
-        self.drop_emb = nn.Dropout(self.dropout_emb)
+        self.drop_emb = Dropout(self.dropout_emb)
 
     def decode(self, ys, caches=None, deterministic: bool = True):
         h = self.drop_emb(self.embed(ys), deterministic=deterministic)

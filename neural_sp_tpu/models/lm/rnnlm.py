@@ -11,6 +11,7 @@ from ... import PAD
 from ...ops.criterion import cross_entropy_lsm, compute_accuracy
 from ..modules.recurrent import RNNLayer
 from ..modules.glu import LinearGLUBlock
+from ...ops.dropout import Dropout
 
 
 class RNNLM(nn.Module):
@@ -43,8 +44,8 @@ class RNNLM(nn.Module):
                 cutoffs=self.adaptive_softmax_cutoffs)
         elif not self.tie_embedding:
             self.output = nn.Dense(self.vocab)
-        self.drop = nn.Dropout(self.dropout)
-        self.drop_emb = nn.Dropout(self.dropout_emb)
+        self.drop = Dropout(self.dropout)
+        self.drop_emb = Dropout(self.dropout_emb)
 
     def _odim(self):
         return self.n_projs if self.n_projs > 0 else self.n_units

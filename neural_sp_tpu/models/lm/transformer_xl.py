@@ -16,6 +16,7 @@ from ...ops.criterion import cross_entropy_lsm, compute_accuracy
 from ...ops.masks import causal_mask
 from ..modules.relative_multihead_attention import RelativeMultiheadAttention
 from ..modules.feed_forward import FFN
+from ...ops.dropout import Dropout
 
 
 class XLBlock(nn.Module):
@@ -40,11 +41,11 @@ class XLBlock(nn.Module):
             dropout=self.dropout_att, clamp_len=self.clamp_len,
             name="self_attn")(x, key=key, mask=mask,
                               deterministic=deterministic)
-        h = h + nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        h = h + Dropout(self.dropout)(a, deterministic=deterministic)
         x = nn.LayerNorm(name="norm_ff")(h)
         x = FFN(self.d_model, self.d_ff, self.dropout, name="ff")(
             x, deterministic)
-        return h + nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return h + Dropout(self.dropout)(x, deterministic=deterministic)
 
 
 class TransformerXL(nn.Module):
@@ -70,7 +71,7 @@ class TransformerXL(nn.Module):
         self.norm_out = nn.LayerNorm()
         if not self.tie_embedding:
             self.output = nn.Dense(self.vocab)
-        self.drop_emb = nn.Dropout(self.dropout_emb)
+        self.drop_emb = Dropout(self.dropout_emb)
 
     def init_mems(self, bs: int, dtype=jnp.float32):
         return [jnp.zeros((bs, 0, self.d_model), dtype)

@@ -12,6 +12,7 @@ from ...ops.masks import causal_mask
 from ..modules.multihead_attention import MultiheadAttention
 from ..modules.feed_forward import FFN
 from ..modules.positional_embedding import PositionalEncoding
+from ...ops.dropout import Dropout
 
 
 class TransformerLMBlock(nn.Module):
@@ -29,11 +30,11 @@ class TransformerLMBlock(nn.Module):
             d_model=self.d_model, n_heads=self.n_heads,
             dropout=self.dropout_att, name="self_attn")(
             h, h, h, mask, cache, deterministic)
-        ys = ys + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        ys = ys + Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.LayerNorm(name="norm_ff")(ys)
         h = FFN(self.d_model, self.d_ff, self.dropout, self.ffn_activation,
                 name="ff")(h, deterministic)
-        ys = ys + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        ys = ys + Dropout(self.dropout)(h, deterministic=deterministic)
         return ys, kv
 
 

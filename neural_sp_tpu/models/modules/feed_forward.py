@@ -7,6 +7,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import jax
 import flax.linen as nn
+from ...ops.dropout import Dropout
 
 
 def activation_fn(name: str):
@@ -36,7 +37,7 @@ class FFN(nn.Module):
             h = a * jax.nn.sigmoid(b)
         else:
             h = activation_fn(self.activation)(nn.Dense(self.d_ff, name="w1")(xs))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         if self.bottleneck_dim > 0:
             h = nn.Dense(self.bottleneck_dim, name="w2_bn")(h)
         return nn.Dense(self.d_model, name="w2")(h)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from ...ops.dropout import Dropout
 
 
 class LinearGLUBlock(nn.Module):
@@ -45,7 +46,7 @@ class ConvGLUBlock(nn.Module):
         h = a * jax.nn.sigmoid(b)
         if self.bottleneck_dim > 0:
             h = nn.Dense(self.out_ch, param_dtype=self.param_dtype)(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         if residual.shape[-1] == h.shape[-1]:
             h = (h + residual) * jnp.sqrt(0.5).astype(h.dtype)
         return h

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.masks import apply_mask_logits
+from ...ops.dropout import Dropout
 
 
 def headdrop(aws: jnp.ndarray, rng, p: float) -> jnp.ndarray:
@@ -87,7 +88,7 @@ class MultiheadAttention(nn.Module):
         aws = jax.nn.softmax(e.astype(jnp.float32), axis=-1).astype(q.dtype)
         if not deterministic and self.dropout_head > 0:
             aws = headdrop(aws, self.make_rng("dropout"), self.dropout_head)
-        aws_d = nn.Dropout(self.dropout)(aws, deterministic=deterministic)
+        aws_d = Dropout(self.dropout)(aws, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", aws_d, v).reshape(bs, tq, d_total)
         out = nn.Dense(self.d_model, use_bias=self.bias, name="w_out",
                        param_dtype=self.param_dtype)(ctx)

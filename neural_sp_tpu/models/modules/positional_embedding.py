@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
+from ...ops.dropout import Dropout
 
 
 def sinusoidal_table(max_len: int, d_model: int, offset: int = 0) -> np.ndarray:
@@ -46,7 +47,7 @@ class PositionalEncoding(nn.Module):
             tab = tab.at[:, 0::2].set(jnp.sin(pos * inv))
             tab = tab.at[:, 1::2].set(jnp.cos(pos * inv))
             xs = xs + tab[None].astype(xs.dtype)
-        xs = nn.Dropout(self.dropout)(xs, deterministic=deterministic)
+        xs = Dropout(self.dropout)(xs, deterministic=deterministic)
         return xs
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.masks import apply_mask_logits
+from ...ops.dropout import Dropout
 
 
 class SyncBidirMultiheadAttention(nn.Module):
@@ -46,7 +47,7 @@ class SyncBidirMultiheadAttention(nn.Module):
         w_value = nn.Dense(self.adim, name="w_value")
         w_query = nn.Dense(self.adim, name="w_query")
         w_out = nn.Dense(self.odim, name="w_out")
-        drop = nn.Dropout(self.dropout)
+        drop = Dropout(self.dropout)
 
         def split(x, n):
             return x.reshape(bs, n, h, dk)
@@ -111,7 +112,7 @@ class SyncBidirTransformerDecoderBlock(nn.Module):
         cv_f, cv_b, awfh, awff, awbh, awbf = sync(
             h_f, h_f, h_f, h_b, h_b, h_b, yy_mask, identity_mask,
             deterministic=deterministic)
-        drop = nn.Dropout(self.dropout)
+        drop = Dropout(self.dropout)
         ys = ys + drop(cv_f, deterministic=deterministic)
         ys_bwd = ys_bwd + drop(cv_b, deterministic=deterministic)
 

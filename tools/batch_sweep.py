@@ -1,0 +1,55 @@
+"""Throughput vs per-dispatch batch size on the flagship step."""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+
+from bench import flagship_args
+from neural_sp_tpu.models.speech2text import build_speech2text
+from neural_sp_tpu.parallel.mesh import make_train_step
+from neural_sp_tpu.trainers.optimizer import build_optimizer
+from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
+
+
+def force(tr):
+    return float(jnp.ravel(jax.tree.leaves(tr)[0])[0])
+
+
+def main():
+    sizes = [int(s) for s in sys.argv[1:]] or [16, 32, 48]
+    args = flagship_args()
+    model = build_speech2text(args)
+    t, u = 1500, 100
+    tx = build_optimizer("noam", schedule=noam_schedule(512, 25000, 5.0),
+                         clip_grad_norm=5.0)
+    rng = np.random.default_rng(0)
+    for bs in sizes:
+        xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
+        xlens = jnp.full((bs,), t, jnp.int32)
+        ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
+        ylens = jnp.full((bs,), u, jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+        params = variables["params"]
+        opt_state = tx.init(params)
+        step = make_train_step(model, tx, mesh=None, donate=True,
+                               compute_dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(bs)
+        params, opt_state, m = step(params, opt_state, key, xs, xlens, ys,
+                                    ylens)
+        force(params)
+        best = float("inf")
+        iters = 12
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                params, opt_state, m = step(
+                    params, opt_state, jax.random.fold_in(key, w * 100 + i),
+                    xs, xlens, ys, ylens)
+            force(params)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        print(f"bs={bs}: {best*1e3:.2f} ms -> {bs/best:.1f} utts/s "
+              f"({bs*t/best/1e3:.0f}k frames/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
