@@ -37,27 +37,97 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
-    """Tensor-parallel parameter sharding over the ``model`` axis.
+# Paired column->row tensor-parallel layout (Megatron-style; SURVEY §2.10 —
+# the reference has no TP, this is the TPU-native extension). A block's
+# UP-projection is column-sharded (output features split over `model`) and
+# its DOWN-projection is row-sharded (input features split), so the hidden
+# activation between them stays sharded and GSPMD inserts ONE all-reduce
+# per block at the down-projection output instead of an all-gather after
+# every matmul:
+#   * FFN: w1 column -> w2 row;
+#   * attention: w_query/w_key/w_value/w_pos column (head split) ->
+#     w_out row;
+#   * conformer conv: pointwise1 column -> depthwise channel-sharded ->
+#     pointwise2 row;
+#   * vocab heads (decoder `output`, CTC fc): column-sharded — the
+#     softmax/log-softmax reduction over the sharded vocab dim becomes a
+#     psum at the loss (GSPMD lowers the cross-entropy reduction without
+#     materialising the gathered [B,T,V] logits).
+# Biases of row-sharded layers stay replicated (added once after the
+# all-reduce); GSPMD preserves exact semantics either way.
+_TP_COLUMN = ("w1", "w_query", "w_key", "w_value", "w_pos", "pointwise1",
+              "output", "key_proj", "key_proj_mono", "key_proj_chunk",
+              "key_proj_value", "w_gen")
+_TP_ROW = ("w2", "w_out", "pointwise2")
+_TP_CHANNEL = ("depthwise",)
 
-    Heuristic TP layout (SURVEY §2.10 — the reference has no TP; this is
-    the TPU-native extension): 2-D kernels whose LAST dim is divisible by
-    the model-axis size and whose element count exceeds ``min_size`` are
-    sharded column-wise (d_ff up-projections, vocab output heads,
-    embeddings); everything else is replicated. XLA inserts the matching
-    all-gathers/reduce-scatters. Returns a NamedSharding pytree shaped
-    like ``params``.
+
+def _path_names(path) -> list[str]:
+    out = []
+    for k in path:
+        out.append(getattr(k, "key", getattr(k, "name", str(k))))
+    return out
+
+
+def param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """NamedSharding pytree for Megatron-style TP over the `model` axis.
+
+    Kernels smaller than ``min_size`` elements or not divisible by the
+    model-axis size stay replicated (the collective would cost more than
+    the matmul).
     """
     n_model = mesh.shape["model"]
 
     def spec(path, x):
-        if n_model > 1 and hasattr(x, "ndim") and x.ndim >= 2 and \
-                x.size >= min_size and x.shape[-1] % n_model == 0:
+        if n_model <= 1 or not hasattr(x, "ndim") or x.ndim < 2 or \
+                x.size < min_size:
+            return NamedSharding(mesh, P())
+        names = _path_names(path)
+        leaf = names[-1]          # 'kernel' / 'bias' / 'embedding' / ...
+        owner = names[-2] if len(names) >= 2 else ""
+        if leaf != "kernel":
+            return NamedSharding(mesh, P())
+        if owner in _TP_COLUMN and x.shape[-1] % n_model == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), "model"))
+        if owner in _TP_ROW and x.shape[0] % n_model == 0:
+            return NamedSharding(
+                mesh, P("model", *([None] * (x.ndim - 1))))
+        if owner in _TP_CHANNEL and x.shape[-1] % n_model == 0:
+            # depthwise conv kernel [K, 1, C]: channel split, no comm
             return NamedSharding(
                 mesh, P(*([None] * (x.ndim - 1)), "model"))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def collective_stats(compiled) -> dict:
+    """Count collectives + bytes moved in a compiled (sharded) step — the
+    comm half of a TP/DP roofline. Parses the optimized HLO."""
+    import re
+    txt = compiled.as_text()
+    stats = {"all-reduce": [0, 0], "all-gather": [0, 0],
+             "reduce-scatter": [0, 0], "collective-permute": [0, 0],
+             "all-to-all": [0, 0]}
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                   "f64": 8, "pred": 1, "s8": 1, "u8": 1}
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    for line in txt.splitlines():
+        m = re.search(r"=\s*(?:\([^)]*\)\s*)?(\w+)\[([\d,]*)\][^=]*"
+                      r"(all-reduce|all-gather|reduce-scatter|"
+                      r"collective-permute|all-to-all)", line)
+        if not m:
+            continue
+        dt, dims, op = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        stats[op][0] += 1
+        stats[op][1] += n * dtype_bytes.get(dt, 4)
+    return {k: {"count": c, "bytes": b} for k, (c, b) in stats.items()
+            if c > 0}
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

@@ -259,3 +259,66 @@ def test_mesh_tensor_parallel_step_matches_single_device():
                                rtol=1e-5)
     d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()), p1, p2)
     assert max(jax.tree.leaves(d)) < 1e-4
+
+
+def test_tp_paired_column_row_conformer_bit_exact():
+    """Megatron-style paired TP on a conformer block stack: FFN w1/attn
+    qkv column-sharded, w2/w_out row-sharded (parallel/mesh.py rules), and
+    the TP=2 step matches single-device within float tolerance."""
+    from neural_sp_tpu.parallel.mesh import (
+        make_mesh, make_train_step, shard_batch, param_shardings,
+        collective_stats, _path_names, _TP_COLUMN, _TP_ROW)
+    from neural_sp_tpu.trainers.optimizer import build_optimizer
+
+    base = dict(enc_type="conformer", input_dim=16,
+                transformer_d_model=32, transformer_d_ff=64,
+                transformer_n_heads=2, enc_n_layers=2,
+                transformer_enc_pe_type="relative",
+                conformer_kernel_size=3, dec_type="lstm", dec_n_units=32,
+                dec_n_layers=1, emb_dim=16, dec_bottleneck_dim=32,
+                attn_dim=32, attn_conv_width=9, vocab=32, ctc_weight=0.3,
+                dropout_enc=0.0, dropout_dec=0.0, dropout_att=0.0)
+    model = build_speech2text(SimpleNamespace(**base))
+    rng = np.random.default_rng(1)
+    bs = 8
+    xs = jnp.asarray(rng.standard_normal((bs, 24, 16)), jnp.float32)
+    xlens = jnp.full((bs,), 24, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, 32, (bs, 4)), jnp.int32)
+    ylens = jnp.full((bs,), 4, jnp.int32)
+    v = model.init(RNG, xs, xlens, ys, ylens)
+    tx = build_optimizer("adam", lr=1e-3)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    tp = param_shardings(v["params"], mesh, min_size=256)
+    # the paired layout must produce BOTH column and row shardings
+    col = row = 0
+    import jax as _jax
+    flat = _jax.tree_util.tree_flatten_with_path(tp)[0]
+    for path, s in flat:
+        spec = tuple(s.spec)
+        names = _path_names(path)
+        if spec and spec[-1] == "model" and (not spec[0] == "model"):
+            col += 1
+            assert names[-2] in _TP_COLUMN + ("depthwise",), names
+        elif spec and spec[0] == "model":
+            row += 1
+            assert names[-2] in _TP_ROW, names
+    assert col > 0 and row > 0, (col, row)
+
+    step1 = make_train_step(model, tx, None, donate=False)
+    p1, _, m1 = step1(v["params"], tx.init(v["params"]),
+                      jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+
+    p_tp = jax.device_put(v["params"], tp)
+    step_tp = make_train_step(model, tx, mesh, donate=False, tp_params=tp)
+    b = shard_batch({"xs": xs, "xlens": xlens, "ys": ys, "ylens": ylens},
+                    mesh)
+    p2, _, m2 = step_tp(p_tp, tx.init(p_tp), jax.random.PRNGKey(0),
+                        b["xs"], b["xlens"], b["ys"], b["ylens"])
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()), p1, p2)
+    # row-sharded contractions change the psum reduction order; adam's
+    # rsqrt normaliser amplifies that for near-zero-grad params — compare
+    # at 1e-3 (~= one lr step)
+    assert max(jax.tree.leaves(d)) < 1e-3
