@@ -137,6 +137,23 @@ def main():
         mfu = -1.0
 
     utts_per_sec = bs / dt
+
+    # ---- realism extras (VERDICT r2 #9) --------------------------------
+    extras = {}
+    try:
+        extras["bucketed"] = _bench_bucketed(step, params, opt_state, key,
+                                             args, force)
+    except Exception as e:
+        extras["bucketed"] = {"error": str(e)[:120]}
+    try:
+        extras["decode_beam"] = _bench_decode_beam(model, params, force)
+    except Exception as e:
+        extras["decode_beam"] = {"error": str(e)[:120]}
+    try:
+        extras["streaming"] = _bench_streaming(force)
+    except Exception as e:
+        extras["streaming"] = {"error": str(e)[:120]}
+
     print(json.dumps({
         "metric": "flagship_conformer_las_train_throughput",
         "value": round(utts_per_sec, 2),
@@ -148,7 +165,113 @@ def main():
         "n_params_m": round(n_params / 1e6, 1),
         "device": jax.devices()[0].device_kind,
         "compute_dtype": "bfloat16",
+        **{f"extra_{k}": v for k, v in extras.items()},
     }))
+
+
+def _bench_bucketed(step, params, opt_state, key, args, force):
+    """Mixed-length batch (real bucketing: sorted lengths, padded to the
+    bucket max): utts/s counting only REAL frames."""
+    lens = [1500, 1500, 1400, 1400, 1300, 1300, 1200, 1200,
+            1100, 1100, 1000, 1000, 900, 900, 800, 800]
+    bs, t, u = len(lens), max(lens), 100
+    rng = np.random.default_rng(1)
+    xs = np.zeros((bs, t, 80), np.float32)
+    for i, L in enumerate(lens):
+        xs[i, :L] = rng.standard_normal((L, 80))
+    xs = jnp.asarray(xs)
+    xlens = jnp.asarray(lens, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
+    ylens = jnp.full((bs,), u, jnp.int32)
+    p, o, m = step(params, opt_state, key, xs, xlens, ys, ylens)
+    force(m["loss"])
+    best = float("inf")
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(10):
+            p, o, m = step(p, o, jax.random.fold_in(key, 999 + i),
+                           xs, xlens, ys, ylens)
+        force(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return {"utts_per_sec": round(bs / best, 2),
+            "step_ms": round(best * 1e3, 2),
+            "pad_waste": round(1.0 - sum(lens) / (bs * t), 3)}
+
+
+def _bench_decode_beam(model, params, force):
+    """Offline device-beam decoding throughput on the flagship model."""
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    sess = Speech2TextSession(
+        model, params, DecodeConfig(beam_width=10, device_beam=True,
+                                    max_len_ratio=0.6))
+    rng = np.random.default_rng(2)
+    bs, t = 16, 1500
+    xs = rng.standard_normal((bs, t, 80)).astype(np.float32)
+    xlens = np.full((bs,), t, np.int32)
+    sess.decode_attention_beam_device(xs, xlens)  # compile + warm
+    t0 = time.perf_counter()
+    xs2 = xs * 1.01
+    sess.decode_attention_beam_device(xs2, xlens)
+    dt = time.perf_counter() - t0
+    return {"utts_per_sec": round(bs / dt, 2), "beam_width": 10,
+            "batch": bs}
+
+
+def _bench_streaming(force):
+    """Streaming decode RTF on a 16 s stream (forced-sync through the
+    tunnel): greedy CTC device-scan + device block-sync MoChA beam."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((1600, 80)).astype(np.float32)
+    out = {}
+
+    # greedy CTC: 12L uni-conformer d256, chunk 64 (r2 config)
+    a = SimpleNamespace(
+        enc_type="uni_conformer", input_dim=80, enc_n_layers=12,
+        transformer_d_model=256, transformer_d_ff=1024,
+        transformer_n_heads=4, transformer_enc_pe_type="relative",
+        transformer_enc_clamp_len=10, conformer_kernel_size=7,
+        lc_chunk_size_left=64, lc_chunk_size_current=64,
+        lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=512, dec_n_layers=1, emb_dim=256,
+        dec_bottleneck_dim=512, vocab=600, ctc_weight=1.0)
+    m1 = build_speech2text(a)
+    v1 = m1.init(jax.random.PRNGKey(0), jnp.asarray(feats)[None],
+                 jnp.asarray([1600]), jnp.zeros((1, 8), jnp.int32),
+                 jnp.asarray([8]))
+    s1 = Speech2TextSession(m1, v1["params"], DecodeConfig(beam_width=1))
+    s1.decode_streaming_device(feats)  # compile + warm
+    _, st = s1.decode_streaming_device(feats * 1.01)
+    out["greedy_ctc_rtf"] = round(st["rtf"], 4)
+
+    # device block-sync MoChA beam (VERDICT r2 #4)
+    a2 = SimpleNamespace(
+        enc_type="uni_conformer", input_dim=80, enc_n_layers=12,
+        transformer_d_model=256, transformer_d_ff=1024,
+        transformer_n_heads=4, transformer_enc_pe_type="relative",
+        transformer_enc_clamp_len=10, conformer_kernel_size=7,
+        lc_chunk_size_left=64, lc_chunk_size_current=64,
+        lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=512, dec_n_layers=1, emb_dim=256,
+        dec_bottleneck_dim=512, attn_type="mocha", attn_dim=512,
+        mocha_chunk_size=4, mocha_init_r=2.0, vocab=600, ctc_weight=0.0)
+    m2 = build_speech2text(a2)
+    v2 = m2.init(jax.random.PRNGKey(0), jnp.asarray(feats)[None],
+                 jnp.asarray([1600]), jnp.zeros((1, 8), jnp.int32),
+                 jnp.asarray([8]))
+    s2 = Speech2TextSession(
+        m2, v2["params"],
+        DecodeConfig(beam_width=10, device_beam=True, max_len_ratio=0.5))
+    s2.decode_streaming(feats)  # compile + warm
+    _, st2 = s2.decode_streaming(feats * 1.01)
+    out["mocha_beam_rtf"] = round(st2["rtf"], 4)
+    out["mocha_beam_width"] = 10
+    return out
 
 
 if __name__ == "__main__":

@@ -314,3 +314,69 @@ def test_decode_streaming_attention_with_ctc_and_lm():
     hyp, stats = sess.decode_streaming(x)
     assert isinstance(hyp, list)
     assert stats["n_out_frames"] == 40
+
+
+def test_decode_streaming_attention_device_matches_host():
+    """Device-resident block-sync MoChA beam (one jit dispatch, in-graph
+    parking) reproduces the host-orchestrated block-sync beam on an
+    always-firing model (las.py:1492-1706 semantics)."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+
+    args = SimpleNamespace(
+        enc_type="uni_transformer", input_dim=80, enc_n_layers=2,
+        transformer_d_model=32, transformer_d_ff=64, transformer_n_heads=2,
+        transformer_enc_pe_type="relative", lc_chunk_size_left=16,
+        lc_chunk_size_current=8, lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=32, dec_n_layers=1, emb_dim=16,
+        dec_bottleneck_dim=32, attn_type="mocha", attn_dim=32,
+        mocha_chunk_size=4, vocab=19, ctc_weight=0.0, lsm_prob=0.0,
+        mocha_init_r=4.0)
+    model = build_speech2text(args)
+    feats = np.random.default_rng(7).standard_normal(
+        (42, 80)).astype(np.float32)
+    v = model.init(RNG, jnp.asarray(feats)[None], jnp.asarray([42]),
+                   jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+
+    sess_host = Speech2TextSession(
+        model, v["params"],
+        DecodeConfig(beam_width=4, max_len_ratio=0.3, device_beam=False))
+    hyp_host, stats_host = sess_host.decode_streaming(feats)
+
+    sess_dev = Speech2TextSession(
+        model, v["params"],
+        DecodeConfig(beam_width=4, max_len_ratio=0.3, device_beam=True))
+    hyp_dev, stats_dev = sess_dev.decode_streaming(feats)
+    assert hyp_dev == hyp_host, (hyp_dev, hyp_host)
+    assert stats_dev["boundaries"] == stats_host["boundaries"]
+
+
+def test_decode_streaming_attention_device_parks_without_boundary():
+    """init_r very negative: no boundary ever fires on-device — the beam
+    must park every block and return an empty hypothesis (no crash)."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+
+    args = SimpleNamespace(
+        enc_type="uni_transformer", input_dim=80, enc_n_layers=1,
+        transformer_d_model=32, transformer_d_ff=64, transformer_n_heads=2,
+        transformer_enc_pe_type="relative", lc_chunk_size_left=16,
+        lc_chunk_size_current=8, lc_chunk_size_right=0, lc_type="mask",
+        dec_type="lstm", dec_n_units=32, dec_n_layers=1, emb_dim=16,
+        dec_bottleneck_dim=32, attn_type="mocha", attn_dim=32,
+        mocha_chunk_size=1, vocab=19, ctc_weight=0.0,
+        mocha_init_r=-30.0)
+    model = build_speech2text(args)
+    feats = np.random.default_rng(8).standard_normal(
+        (26, 80)).astype(np.float32)
+    v = model.init(RNG, jnp.asarray(feats)[None], jnp.asarray([26]),
+                   jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]))
+    sess = Speech2TextSession(
+        model, v["params"],
+        DecodeConfig(beam_width=2, device_beam=True))
+    hyp, stats = sess.decode_streaming(feats)
+    assert hyp == []
