@@ -14,7 +14,61 @@ wp_vocab_size=${WP_VOCAB:-10000}
 # (reference run.sh:138-147 + utils/speed_perturb_3way.sh)
 speed_perturb=${SPEED_PERTURB:-0.9_1.0_1.1}
 
-# Stage 0/1/2: download + feature extraction + vocab + TSVs.
+# Stage 0: download + manifest prep (reference run.sh:86-124). FLAC inputs
+# decode through the native C++ decoder (native/nsp_flac.cc) — no sox.
+# Skipped automatically when $data/<split>/wav.scp already exists or the
+# host has no network.
+lm_sets=${TRAIN_SETS:-"train-clean-100 train-clean-360 train-other-500"}
+dev_sets=${DEV_SETS:-"dev-clean dev-other"}
+test_sets=${TEST_SETS:-"test-clean test-other"}
+db=${DB:-$data/db}
+if [ $stage -le 0 ] && [ $stop_stage -ge 0 ] && [ ! -f "$data/train/wav.scp" ]; then
+  mkdir -p "$db"
+  for part in $lm_sets $dev_sets $test_sets; do
+    if [ ! -d "$db/LibriSpeech/$part" ]; then
+      echo "downloading $part ..."
+      wget -q -c -O "$db/$part.tar.gz" \
+        "https://www.openslr.org/resources/12/$part.tar.gz" \
+        || { echo "download failed (offline?); provide wav.scp/text manually"; break; }
+      tar -xzf "$db/$part.tar.gz" -C "$db"
+    fi
+  done
+  DB="$db" TRAIN_SETS="$lm_sets" DEV_SETS="$dev_sets" \
+    TEST_SETS="$test_sets" python - <<'EOF'
+# build wav.scp (flac paths) + text from the LibriSpeech layout:
+# <split>/<spk>/<chap>/<spk>-<chap>-<utt>.flac + <spk>-<chap>.trans.txt
+import os, glob
+db = os.environ["DB"]
+data = os.environ.get("DATA", "./data")
+groups = {"train": os.environ["TRAIN_SETS"].split(),
+          "dev": os.environ["DEV_SETS"].split(),
+          "test": os.environ["TEST_SETS"].split()}
+for split, parts in groups.items():
+    scp, txt = [], []
+    for part in parts:
+        root = os.path.join(db, "LibriSpeech", part)
+        if not os.path.isdir(root):
+            continue
+        for trans in glob.glob(os.path.join(root, "*", "*",
+                                            "*.trans.txt")):
+            chap_dir = os.path.dirname(trans)
+            for line in open(trans):
+                utt, text = line.strip().split(" ", 1)
+                flac = os.path.join(chap_dir, utt + ".flac")
+                if os.path.isfile(flac):
+                    scp.append(f"{utt} {flac}")
+                    txt.append(f"{utt} {text.lower()}")
+    if scp:
+        os.makedirs(os.path.join(data, split), exist_ok=True)
+        open(os.path.join(data, split, "wav.scp"), "w").write(
+            "\n".join(scp) + "\n")
+        open(os.path.join(data, split, "text"), "w").write(
+            "\n".join(txt) + "\n")
+        print(f"{split}: {len(scp)} utts")
+EOF
+fi
+
+# Stage 1/2: feature extraction + vocab + TSVs.
 # Host-side prep uses neural_sp_tpu.utils.make_dataset (fbank+CMVN+BPE in
 # pure Python/JAX — no Kaldi). Provide wav.scp + text per split under
 # $data/<split>/ then:

@@ -17,6 +17,22 @@ import numpy as np
 from ..ops.audio import mel_filterbank, povey_window
 
 
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Dispatch on extension: .wav (stdlib) or .flac (native C++ decoder,
+    native/nsp_flac.cc — LibriSpeech stage-0)."""
+    if path.lower().endswith(".flac"):
+        from .native import read_flac
+        out = read_flac(path)
+        if out is None:
+            raise RuntimeError(
+                "FLAC input needs the native library; run `make -C native`")
+        x, sr = out
+        if x.ndim > 1:
+            x = x.mean(axis=1)
+        return x, sr
+    return read_wav(path)
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a PCM WAV file -> (float32 samples in [-1, 1], sample_rate)."""
     with _wave.open(path, "rb") as w:

@@ -10,7 +10,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 
-from .io import read_wav, logmel_fbank_np
+from .io import read_audio, logmel_fbank_np
 from ..ops.audio import compute_cmvn_stats
 from ..datasets.token_converter.wordpiece import train_bpe
 from ..datasets.asr.dataset import build_converters
@@ -62,7 +62,7 @@ def extract_features(
     factors = tuple(speed_perturbs) or (1.0,)
     raw = {}
     for utt, path in wav_scp.items():
-        x, sr = read_wav(path)
+        x, sr = read_audio(path)
         for f in factors:
             raw[sp_utt_id(utt, f)] = logmel_fbank_np(
                 speed_perturb_wave(x, f), sample_rate=sr, n_mels=n_mels)

@@ -102,3 +102,40 @@ def edit_distance(ref: list[int], hyp: list[int]
         h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(h),
         ctypes.byref(s), ctypes.byref(i), ctypes.byref(d))
     return tot, s.value, i.value, d.value
+
+
+def read_flac(path: str):
+    """Decode a FLAC file with the native decoder (native/nsp_flac.cc —
+    LibriSpeech stage-0; the image has no sox/soundfile).
+
+    Returns (float32 waveform [n] or [n, ch] in [-1, 1], sample_rate) or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "nsp_flac_decode"):
+        return None
+    lib.nsp_flac_info.restype = ctypes.c_int
+    lib.nsp_flac_decode.restype = ctypes.c_int
+    total = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.nsp_flac_info(path.encode(), ctypes.byref(total),
+                           ctypes.byref(rate), ctypes.byref(ch))
+    if rc != 0:
+        raise ValueError(f"not a FLAC file (rc={rc}): {path}")
+    # STREAMINFO total may be 0 (unknown) — fall back to a generous bound
+    cap = int(total.value) if total.value > 0 else 1 << 26
+    buf = np.empty(cap * max(int(ch.value), 1), np.int16)
+    n = ctypes.c_int64()
+    rc = lib.nsp_flac_decode(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(cap), ctypes.byref(n), ctypes.byref(rate),
+        ctypes.byref(ch))
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (rc={rc}): {path}")
+    nch = int(ch.value)
+    x = buf[: int(n.value) * nch].astype(np.float32) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch)
+    return x, int(rate.value)
