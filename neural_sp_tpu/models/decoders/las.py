@@ -222,7 +222,12 @@ class LASStep(nn.Module):
 
     def hoists_readout(self, deterministic: bool) -> bool:
         """True when the scan emits readout INPUTS (no in-scan logits) —
-        only scheduled sampling needs per-step logits in the carry."""
+        only scheduled sampling needs per-step logits in the carry.
+        NSP_NO_HOIST=1 disables the hoist (compiler-workaround escape
+        hatch; see ROADMAP environment notes)."""
+        import os
+        if os.environ.get("NSP_NO_HOIST") == "1":
+            return False
         return self.ss_prob == 0 or deterministic
 
     def _generate(self, dout, ctx, lm_raw, deterministic: bool):
@@ -371,9 +376,14 @@ class RNNDecoder(nn.Module):
         return self.key_proj(eouts) if self.key_proj is not None else eouts
 
     def init_carry(self, bs: int, tmax: int, dtype=jnp.float32,
-                   need_logits: bool = False):
-        """``need_logits``: carry per-step logits (scheduled sampling only —
-        see ``LASStep.hoists_readout``)."""
+                   need_logits: bool | None = None):
+        """``need_logits``: carry per-step logits (scheduled sampling, or
+        the NSP_NO_HOIST escape hatch — see ``LASStep.hoists_readout``).
+        Default (None) resolves from the deterministic/decode-time flag."""
+        if need_logits is None:
+            # decode-time resolution without bound submodule access
+            import os
+            need_logits = os.environ.get("NSP_NO_HOIST") == "1"
         states = tuple(
             (jnp.zeros((bs, self.n_units), dtype),
              jnp.zeros((bs, self.n_units), dtype))
@@ -533,7 +543,8 @@ class RNNDecoder(nn.Module):
                 (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
         _, (outs, _) = self.step_scan(
             carry, ys_in, trig, ctx_steps, key_cache, eouts, mask, True)
-        logits = self.step_scan.readout(outs, True)
+        logits = self.step_scan.readout(outs, True) \
+            if self.step_scan.hoists_readout(True) else outs
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         tok_lp = jnp.take_along_axis(
             lp, jnp.maximum(ys_out, 0)[..., None], axis=-1)[..., 0]
@@ -547,7 +558,8 @@ class RNNDecoder(nn.Module):
         ctx0 = jnp.zeros((y_t.shape[0], 1, self.enc_n_units), eouts.dtype)
         carry, (outs, aws) = self.step_scan(
             carry, y_t[:, None], trig, ctx0, key_cache, eouts, mask, True)
-        logits = self.step_scan.readout(outs, True)
+        logits = self.step_scan.readout(outs, True) \
+            if self.step_scan.hoists_readout(True) else outs
         return carry, logits[:, 0], aws[:, 0]
 
     def precompute_keys(self, eouts):
@@ -585,7 +597,8 @@ class RNNDecoder(nn.Module):
             step_carry, (outs, _) = mdl(
                 step_carry, y_prev[:, None], trig, ctx_t[:, None],
                 key_cache, eouts, mask, True)
-            logits = mdl.readout(outs, True)[:, 0]
+            logits = (mdl.readout(outs, True)
+                      if mdl.hoists_readout(True) else outs)[:, 0]
             y = jnp.argmax(logits, -1).astype(jnp.int32)
             y = jnp.where(done, PAD, y)
             done = done | (y == EOS)
