@@ -26,6 +26,12 @@ from jax import lax
 
 NEG_INF = -1.0e30
 
+# lax.scan unroll factor for the alpha/beta/viterbi time scans (fewer,
+# larger loop iterations -> less per-step overhead on backends where the
+# while-loop body has fixed cost; override with NSP_CTC_UNROLL)
+import os as _os
+UNROLL = int(_os.environ.get("NSP_CTC_UNROLL", "1"))
+
 
 def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
     """[B, U] -> [B, 2U+1] blank-interleaved extended labels."""
@@ -98,7 +104,8 @@ def ctc_forward_alphas(log_probs, labels, logit_lengths, label_lengths, blank=0)
         new = jnp.where(valid, new, alpha)
         return new, alpha
 
-    alpha_last, alphas_hist = lax.scan(step, alpha0, (t_idx, emit_all[1:]))
+    alpha_last, alphas_hist = lax.scan(step, alpha0, (t_idx, emit_all[1:]),
+                                       unroll=UNROLL)
     alphas = jnp.concatenate(
         [alphas_hist, alpha_last[None]], axis=0)  # [T, B, S]
 
@@ -159,7 +166,8 @@ def _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
         return new, new
 
     t_idx = jnp.arange(tmax - 2, -1, -1, dtype=jnp.int32)
-    _, betas_hist = lax.scan(step, beta_T, (t_idx, emit_all[1:][::-1]))
+    _, betas_hist = lax.scan(step, beta_T, (t_idx, emit_all[1:][::-1]),
+                             unroll=UNROLL)
     betas = jnp.concatenate(
         [betas_hist[::-1], beta_T[None]], axis=0)  # [T, B, S]
     return betas
