@@ -1026,7 +1026,13 @@ class Speech2TextSession:
             blocks.append(b)
             n_news.append(-(-n_new // factor))  # real OUT frames per block
         n_frames = len(x_whole)
-        n_blk = len(blocks)
+        # bucket the block count so nearby utterance lengths share one
+        # compiled program (pad blocks are all-zero with n_out=0: the beam
+        # sees no new frames and every row stays parked)
+        n_blk = -(-len(blocks) // 8) * 8
+        while len(blocks) < n_blk:
+            blocks.append(np.zeros_like(blocks[0]))
+            n_news.append(0)
         blocks = jnp.asarray(np.stack(blocks))        # [N, total_in, D]
         n_outs = jnp.asarray(n_news, jnp.int32)
         t_total = n_blk * n_c
