@@ -62,11 +62,45 @@ def flagship_args():
     )
 
 
+def _preflight(seconds: int = 150):
+    """The remote compile pool has a lottery: some workers hang compiles
+    indefinitely (ROADMAP environment notes). Probe with a trivial compile
+    under SIGALRM; on timeout exit(3) so the parent wrapper respawns into
+    a (hopefully) healthy worker."""
+    import signal
+
+    def _bail(signum, frame):
+        print("preflight: compile worker unresponsive, respawning",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(seconds)
+    x = jnp.ones((256, 256), jnp.float32)
+    float((x @ x).sum())
+    signal.alarm(0)
+
+
+def _watchdog(seconds: int):
+    import signal
+
+    def _bail(signum, frame):
+        print(f"watchdog: no progress in {seconds}s, respawning",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(seconds)
+
+
 def main():
     from neural_sp_tpu.models.speech2text import build_speech2text
     from neural_sp_tpu.parallel.mesh import make_train_step
     from neural_sp_tpu.trainers.optimizer import build_optimizer
     from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
+
+    _preflight()
+    _watchdog(1800)  # covers the flagship compile; cleared before timing
 
     args = flagship_args()
     model = build_speech2text(args)
@@ -108,6 +142,8 @@ def main():
 
     params, opt_state, m = step(params, opt_state, key, xs, xlens, ys, ylens)
     force(params)  # compile + warm (forces the full optimizer chain)
+    import signal
+    signal.alarm(0)  # compile done; timing loops run unwatched
 
     # enough iterations that per-dispatch host/tunnel jitter amortises;
     # best-of-3 windows guards against transient contention
@@ -275,4 +311,19 @@ def _bench_streaming(force):
 
 
 if __name__ == "__main__":
+    if os.environ.get("_NSP_BENCH_CHILD") != "1":
+        # parent wrapper: respawn on preflight/watchdog exit(3) — a fresh
+        # process draws a fresh compile worker from the pool
+        import subprocess
+        rc = 1
+        for attempt in range(4):
+            env = dict(os.environ)
+            env["_NSP_BENCH_CHILD"] = "1"
+            rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                env=env).returncode
+            if rc != 3:
+                break
+            print(f"bench: retrying ({attempt + 1})", file=sys.stderr,
+                  flush=True)
+        sys.exit(rc)
     main()
