@@ -325,13 +325,17 @@ class RNNDecoder(nn.Module):
             mocha_stableemit_weight=self.mocha_stableemit_weight,
             lm_fusion=self.lm_fusion, lm_n_units=self.lm_n_units,
             lm_n_layers=self.lm_n_layers, lm_emb_dim=self.lm_emb_dim)
+        import os
         self.step_scan = nn.scan(
             LASStep,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=(1, 1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
                      nn.broadcast),
-            out_axes=1)(**fields, name="step")
+            out_axes=1,
+            # per-iteration loop overhead knob (sequential deps unchanged)
+            unroll=int(os.environ.get("NSP_DEC_UNROLL", "1")),
+            )(**fields, name="step")
         if self.attn_type == "cif":
             from ..modules.cif import CIF
             self.cif = CIF(enc_dim=self.enc_n_units)

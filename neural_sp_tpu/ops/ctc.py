@@ -211,22 +211,32 @@ def _ctc_nll_fb(log_probs, labels, logit_lengths, label_lengths, blank):
 
 
 def _ctc_nll_fwd(log_probs, labels, logit_lengths, label_lengths, blank):
-    nll = _nll_forward_only(log_probs, labels, logit_lengths, label_lengths,
-                            blank)
-    return nll, (log_probs, labels, logit_lengths, label_lengths, nll)
+    if _use_pallas_fwd():
+        nll = _nll_forward_only(log_probs, labels, logit_lengths,
+                                label_lengths, blank)
+        alphas = None  # recomputed in bwd (kernel doesn't emit the lattice)
+    else:
+        nll, alphas = ctc_forward_alphas(log_probs, labels, logit_lengths,
+                                         label_lengths, blank=blank)
+    return nll, (log_probs, labels, logit_lengths, label_lengths, nll,
+                 alphas)
 
 
 def _ctc_nll_bwd(blank, res, g):
-    """Memory-efficient backward: recompute alpha+beta, form occupancies
-    (no per-step scan residuals saved by autodiff).
+    """Backward from saved alphas + one beta scan.
+
+    The alpha lattice is only [T, B, 2U+1] f32 (2.4 MB on the flagship) —
+    saving it from the forward removes a full T-step recompute scan, a
+    material share of the step's sequential-iteration overhead.
 
     dL/dlogp[b,t,v] = -sum_{s: z[s]=v} exp(alpha[t,s]+beta[t,s]
                                            - logp[t,z[s]] + nll)
     """
-    log_probs, labels, logit_lengths, label_lengths, nll = res
+    log_probs, labels, logit_lengths, label_lengths, nll, alphas = res
     bs, tmax, v = log_probs.shape
-    _, alphas = ctc_forward_alphas(log_probs, labels, logit_lengths,
-                                   label_lengths, blank=blank)
+    if alphas is None:
+        _, alphas = ctc_forward_alphas(log_probs, labels, logit_lengths,
+                                       label_lengths, blank=blank)
     z = _extend_labels(labels.astype(jnp.int32), blank)
     s = z.shape[1]
     z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :s]

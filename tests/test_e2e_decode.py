@@ -25,7 +25,7 @@ def corpus(tmp_path_factory):
                           max_words=3, seed=5)
 
 
-def _train(corpus, args_kw, n_steps=220, lr=3e-3):
+def _train(corpus, args_kw, n_steps=300, lr=3e-3):
     from neural_sp_tpu.datasets.asr.build import build_dataloader
     loader = build_dataloader(corpus["train"], corpus["dict_char"],
                               unit="char", batch_size=16, bucketing="sort",
