@@ -52,10 +52,12 @@ def flagship_args():
         transformer_n_heads=8, transformer_enc_pe_type="relative",
         transformer_enc_clamp_len=10, conformer_kernel_size=15,
         subsample="1_1_1_2_1_1_1_1_1_1_1_1", subsample_type="drop",
-        dropout_enc=0.1, dropout_att=0.1,
+        # dropout values VERBATIM from the reference conf (the large yaml
+        # sets dropout_att 0.0, dropout_dec/emb 0.1)
+        dropout_enc=0.1, dropout_att=0.0,
         dec_type="lstm", dec_n_units=1024, dec_n_layers=1, emb_dim=512,
         dec_bottleneck_dim=1024, attn_type="location", attn_dim=512,
-        attn_conv_width=201, dropout_dec=0.2, dropout_emb=0.2,
+        attn_conv_width=201, dropout_dec=0.1, dropout_emb=0.1,
         vocab=10000, ctc_weight=0.3, lsm_prob=0.1,
         freq_width=27, n_freq_masks=2, time_width=100, n_time_masks=2,
         time_width_upper=1.0,
@@ -175,18 +177,34 @@ def main():
     utts_per_sec = bs / dt
 
     # ---- realism extras (VERDICT r2 #9) --------------------------------
+    # each extra compiles fresh programs — guard against the compile-worker
+    # lottery with a per-extra alarm that aborts JUST that extra (the
+    # primary metric above is already measured and must still print)
+    def _alarmed(fn, *a, seconds=900):
+        def _to(signum, frame):
+            raise TimeoutError("extra timed out (compile worker hang?)")
+        old = signal.signal(signal.SIGALRM, _to)
+        signal.alarm(seconds)
+        try:
+            return fn(*a)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     extras = {}
     try:
-        extras["bucketed"] = _bench_bucketed(step, params, opt_state, key,
-                                             args, force)
+        extras["bucketed"] = _alarmed(_bench_bucketed, step, params,
+                                      opt_state, key, args, force)
     except Exception as e:
         extras["bucketed"] = {"error": str(e)[:120]}
     try:
-        extras["decode_beam"] = _bench_decode_beam(model, params, force)
+        extras["decode_beam"] = _alarmed(_bench_decode_beam, model, params,
+                                         force)
     except Exception as e:
         extras["decode_beam"] = {"error": str(e)[:120]}
     try:
-        extras["streaming"] = _bench_streaming(force)
+        extras["streaming"] = _alarmed(_bench_streaming, force,
+                                       seconds=1500)
     except Exception as e:
         extras["streaming"] = {"error": str(e)[:120]}
 
