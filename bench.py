@@ -1,11 +1,14 @@
-"""Benchmark: TRUE flagship Conformer-LAS training step on one chip.
+"""Benchmark: flagship Conformer-LAS training step on one chip.
 
-Model = examples/librispeech/conf/asr/conformer_kernel15_clamp10_hie_
-subsample8_las_ln_large.yaml (the reference's headline Librispeech config,
-conf/asr/transformer/conformer_kernel15_clamp10_hie_subsample8_las_long_
+Model dims/loss/batch follow the reference's headline Librispeech config
+(conf/asr/transformer/conformer_kernel15_clamp10_hie_subsample8_las_long_
 ln_large.yaml): 12L conformer d512/8H/d_ff2048 kernel15 rel-PE clamp10,
-subsample x8, LAS LSTM-1024 location-attention decoder, wp vocab 10k,
-CTC 0.3, batch 24,000 input frames — trained in bf16 compute / f32 masters.
+total subsample x8, LAS LSTM-1024 location-attention decoder, wp vocab
+10k, CTC 0.3, batch 24,000 input frames — bf16 compute / f32 masters.
+One documented deviation for round-over-round comparability: the x8
+subsampling is conv x4 + one interlayer x2 (drop) here vs the conf's
+conv x2 + two interlayer x2 (max_pool) — equal output rate, fewer
+early-layer frames; the shipped recipe yaml is the faithful transcription.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 The reference publishes no GPU throughput (SURVEY.md §6); vs_baseline uses a
