@@ -7,6 +7,8 @@ YAMLs translate directly.
 """
 from __future__ import annotations
 
+import os
+
 from .rnn import RNNEncoder
 from .transformer import XformerEncoder
 from .tds import TDSEncoder
@@ -102,7 +104,12 @@ def build_encoder(args):
             chunk_size_current=_get(args, "lc_chunk_size_current", -1),
             chunk_size_right=_get(args, "lc_chunk_size_right", 0),
             streaming_type=_get(args, "lc_type", "mask"),
-            remat=_get(args, "recompute_encoder", False),
+            remat=_get(args, "recompute_encoder",
+                       os.environ.get("NSP_ENC_REMAT") == "1"),
+            remat_policy=_get(args, "recompute_encoder_policy",
+                              os.environ.get("NSP_ENC_REMAT_POLICY", "")),
+            scan_layers=_get(args, "enc_scan_layers",
+                             os.environ.get("NSP_SCAN_LAYERS") == "1"),
         )
 
     if core == "tds":

@@ -24,6 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax import lax
 
 from ...ops.masks import (
     make_pad_mask, make_san_mask, make_chunkwise_san_mask, causal_mask)
@@ -72,7 +73,8 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, xs, mask=None, pad_mask=None, cache=None,
                  conv_cache=None, deterministic: bool = True,
-                 return_weights: bool = False, conv_cur_len: int | None = None):
+                 return_weights: bool = False, conv_cur_len: int | None = None,
+                 klens=None):
         new_caches = {}
         is_conf = self.btype.startswith("conformer")
         fx = 0.5 if is_conf else 1.0
@@ -113,7 +115,7 @@ class EncoderBlock(nn.Module):
         if use_rel:
             h, kv, aws = mha(h, mask=mask, cache=cache,
                              deterministic=deterministic,
-                             return_weights=return_weights)
+                             return_weights=return_weights, klens=klens)
         else:
             h, kv, aws = mha(h, h, h, mask=mask, cache=cache,
                              deterministic=deterministic,
@@ -172,6 +174,11 @@ class XformerEncoder(nn.Module):
     chunk_size_right: int = 0
     streaming_type: str = "mask"        # reshape | mask
     remat: bool = False                 # jax.checkpoint each block (memory)
+    remat_policy: str = ""              # '' (full) | 'dots' | 'nothing'
+    scan_layers: bool = False           # lax.scan over uniform layer runs
+    # (measured r3: flagship compiles 2.2x faster (59s vs 128s) but steps
+    # ~30% SLOWER (83 vs 64 ms, tools/ab_flagship.py) — scan blocks XLA's
+    # inter-layer fusion/scheduling. Opt-in for compile-bound workflows.)
 
     @property
     def conv_factor(self) -> int:
@@ -214,10 +221,19 @@ class XformerEncoder(nn.Module):
             "add" if self.pe_type in ("add", "1dconv3L_add") else "none",
             self.dropout)
         self.drop_in = Dropout(self.dropout_in)
-        # trade FLOPs for HBM: recompute each block in the backward
+        # trade FLOPs for HBM: recompute each block in the backward.
+        # 'dots' keeps matmul outputs and recomputes the elementwise chains
+        # (softmax/LN/residual/dropout) — on a traffic-bound encoder this
+        # removes their saved-residual round-trips while adding only VPU
+        # work; '' is classic full-block recompute (min memory).
+        policy = {"": None,
+                  "dots": jax.checkpoint_policies
+                  .dots_with_no_batch_dims_saveable,
+                  "nothing": jax.checkpoint_policies.nothing_saveable,
+                  }[self.remat_policy]
         block_cls = nn.remat(
-            EncoderBlock, static_argnums=(5, 6, 7)) if self.remat \
-            else EncoderBlock
+            EncoderBlock, static_argnums=(5, 6, 7),
+            policy=policy) if self.remat else EncoderBlock
         blocks = []
         for lth in range(self.n_layers):
             # deeper layers dropped more (reference transformer.py:226)
@@ -297,12 +313,31 @@ class XformerEncoder(nn.Module):
         aws_all = []
         subsample = list(self.subsample) or [1] * self.n_layers
         h = xs
-        for lth in range(self.n_layers):
-            h, _, aws = self.blocks[lth](
-                h, mask, pad_mask, None, None, deterministic,
-                return_weights, None)
-            if return_weights:
-                aws_all.append(aws)
+        # lax.scan over uniform runs of layers: the flagship's 12 conformer
+        # blocks unroll to a ~31k-op HLO graph whose per-op scheduling/fusion
+        # overhead dominates the step (ROADMAP r3 profile); scanning runs of
+        # identical blocks compiles ONE body per run. Disabled during init
+        # (the unrolled path creates the per-layer params, so checkpoints,
+        # TP shardings and the streaming path are untouched), with attention
+        # weights (per-layer outputs), and with LayerDrop (per-depth prob).
+        use_scan = (self.scan_layers and not self.is_initializing()
+                    and not return_weights and self.dropout_layer == 0.0)
+        # key-padding lengths for the fused rel-attention kernel: only valid
+        # when the mask is pure key-padding (bidirectional, non-chunked)
+        klens = xlens if (not streaming and not self.unidirectional
+                          and not reshape_mode) else None
+        for group in self._layer_groups():
+            if use_scan and len(group) >= 2:
+                h = self._scan_group(group, h, mask, pad_mask,
+                                     deterministic, klens)
+            else:
+                for lth in group:
+                    h, _, aws = self.blocks[lth](
+                        h, mask, pad_mask, None, None, deterministic,
+                        return_weights, None, klens)
+                    if return_weights:
+                        aws_all.append(aws)
+            lth = group[-1]
 
             for sub, n_sub in (("sub1", self.n_layers_sub1),
                                ("sub2", self.n_layers_sub2)):
@@ -341,6 +376,59 @@ class XformerEncoder(nn.Module):
         if return_weights:
             eouts["aws"] = aws_all
         return eouts
+
+    def _layer_groups(self) -> list[list[int]]:
+        """Runs of consecutive layers with no tap/subsample boundary inside
+        (a boundary layer always ends its run)."""
+        subsample = list(self.subsample) or [1] * self.n_layers
+        taps = {n - 1 for n in (self.n_layers_sub1, self.n_layers_sub2)
+                if n > 0}
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        for lth in range(self.n_layers):
+            cur.append(lth)
+            if subsample[lth] > 1 or lth in taps:
+                groups.append(cur)
+                cur = []
+        if cur:
+            groups.append(cur)
+        return groups
+
+    def _scan_group(self, group, h, mask, pad_mask, deterministic,
+                    klens=None):
+        """Run a uniform run of blocks as ONE lax.scan body over their
+        stacked per-layer params (stacking is a pointer-shuffle copy, tiny
+        next to the attention/FFN traffic it amortises)."""
+        p = self.variables["params"]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[p[f"blocks_{i}"] for i in group])
+        block = EncoderBlock(
+            d_model=self.d_model, d_ff=self.d_ff, n_heads=self.n_heads,
+            btype=self.btype, dropout=self.dropout,
+            dropout_att=self.dropout_att, dropout_layer=0.0,
+            pe_type=self.pe_type, clamp_len=self.clamp_len,
+            ffn_activation=self.ffn_activation,
+            ffn_bottleneck_dim=self.ffn_bottleneck_dim,
+            conv_kernel_size=self.conv_kernel_size,
+            conv_normalization=self.conv_normalization,
+            causal=self.unidirectional,
+            parent=None)   # unbound template, applied per scan slice
+        need_rng = not deterministic
+        keys = (jax.random.split(self.make_rng("dropout"), len(group))
+                if need_rng else jnp.zeros((len(group), 1), jnp.uint32))
+
+        def body(carry, xs_l):
+            p_l, k_l = xs_l
+            out, _, _ = block.apply(
+                {"params": p_l}, carry, mask, pad_mask, None, None,
+                deterministic, False, None, klens,
+                rngs={"dropout": k_l} if need_rng else None)
+            return out, None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        h, _ = lax.scan(body, h, (stacked, keys))
+        return h
 
     # ---- streaming inference (explicit per-layer caches) -----------------
     # Replaces the reference's mutable per-layer self.cache

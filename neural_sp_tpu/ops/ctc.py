@@ -28,9 +28,13 @@ NEG_INF = -1.0e30
 
 # lax.scan unroll factor for the alpha/beta/viterbi time scans (fewer,
 # larger loop iterations -> less per-step overhead on backends where the
-# while-loop body has fixed cost; override with NSP_CTC_UNROLL)
+# while-loop body has fixed cost; override with NSP_CTC_UNROLL, read at
+# trace time so A/B harnesses can toggle it per-build)
 import os as _os
-UNROLL = int(_os.environ.get("NSP_CTC_UNROLL", "1"))
+
+
+def UNROLL() -> int:
+    return int(_os.environ.get("NSP_CTC_UNROLL", "1"))
 
 
 def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
@@ -105,7 +109,7 @@ def ctc_forward_alphas(log_probs, labels, logit_lengths, label_lengths, blank=0)
         return new, alpha
 
     alpha_last, alphas_hist = lax.scan(step, alpha0, (t_idx, emit_all[1:]),
-                                       unroll=UNROLL)
+                                       unroll=UNROLL())
     alphas = jnp.concatenate(
         [alphas_hist, alpha_last[None]], axis=0)  # [T, B, S]
 
@@ -167,7 +171,7 @@ def _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
 
     t_idx = jnp.arange(tmax - 2, -1, -1, dtype=jnp.int32)
     _, betas_hist = lax.scan(step, beta_T, (t_idx, emit_all[1:][::-1]),
-                             unroll=UNROLL)
+                             unroll=UNROLL())
     betas = jnp.concatenate(
         [betas_hist[::-1], beta_T[None]], axis=0)  # [T, B, S]
     return betas

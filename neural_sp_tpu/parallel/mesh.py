@@ -231,6 +231,8 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
         return jitted(params, opt_state, rng, batch,
                       jnp.asarray(lr_scale, jnp.float32))
 
+    call.jitted = jitted   # exposed for lowering/cost analysis tooling
+
     def lower(params, opt_state, rng, xs, xlens, ys, ylens, lr_scale):
         return jitted.lower(
             params, opt_state, rng,
