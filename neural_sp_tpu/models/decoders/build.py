@@ -49,6 +49,8 @@ def build_decoder(args, vocab: int, enc_n_units: int,
             mma_first_layer=_get(args, "mocha_first_layer", 0),
             mocha_chunk_size=_get(args, "mocha_chunk_size", 1),
             mocha_n_heads_mono=_get(args, "mocha_n_heads_mono", 1),
+            mocha_n_heads_chunk=_get(args, "mocha_n_heads_chunk", 1),
+            mocha_share_ca=_get(args, "share_chunkwise_attention", False),
             mocha_eps_wait=_get(args, "mocha_eps_wait", -1),
             quantity_loss_weight=_get(args, "mocha_quantity_loss_weight",
                                       0.0),
@@ -65,6 +67,7 @@ def build_decoder(args, vocab: int, enc_n_units: int,
                             _get(args, "dec_n_units", 512)),
         attn_type=_get(args, "attn_type", "location"),
         attn_dim=_get(args, "attn_dim", 512),
+        attn_n_heads=_get(args, "attn_n_heads", 1),
         attn_conv_n_channels=_get(args, "attn_conv_n_channels", 10),
         attn_conv_kernel_size=_get(args, "attn_conv_width", 201),
         attn_sharpening_factor=_get(args, "attn_sharpening_factor", 1.0),
@@ -83,9 +86,14 @@ def build_decoder(args, vocab: int, enc_n_units: int,
         mocha_no_denominator=_get(args, "mocha_no_denominator", False),
         mocha_eps_wait=_get(args, "mocha_eps_wait", -1),
         mocha_stableemit_weight=_get(args, "mocha_stableemit_weight", 0.0),
+        mocha_1dconv=_get(args, "mocha_1dconv", False),
+        mocha_share_ca=_get(args, "share_chunkwise_attention", False),
         quantity_loss_weight=_get(args, "mocha_quantity_loss_weight", 0.0),
         latency_metric=_get(args, "mocha_latency_metric", "") or "",
         latency_loss_weight=_get(args, "mocha_latency_loss_weight", 0.0),
+        # DeCoT alignment-mask slack (reference las.py:365 default 0;
+        # passed as decot_delta into MoChA)
+        trigger_lookahead=_get(args, "mocha_decot_lookahead", 2),
         lm_fusion=_get(args, "lm_fusion", "") or "",
         lm_n_units=_get(args, "lm_n_units", 512),
         lm_n_layers=_get(args, "lm_n_layers", 1),

@@ -64,6 +64,8 @@ class LASStep(nn.Module):
     mocha_no_denominator: bool = False
     mocha_eps_wait: int = -1
     mocha_stableemit_weight: float = 0.0
+    mocha_1dconv: bool = False
+    mocha_share_ca: bool = False
     # LM fusion in the readout (reference las.py:247-258, generate :852-881)
     lm_fusion: str = ""              # '' | cold | cold_prob | deep
     lm_n_units: int = 512
@@ -101,10 +103,21 @@ class LASStep(nn.Module):
                 no_denominator=self.mocha_no_denominator,
                 eps_wait=self.mocha_eps_wait,
                 stableemit_weight=self.mocha_stableemit_weight,
+                share_ca=self.mocha_share_ca,
                 external_keys=True)
         elif self.attn_type == "gmm":
             self.attn = GMMAttention(kdim=self.enc_n_units, qdim=qdim,
                                      adim=self.attn_dim)
+        elif self.attn_n_heads > 1:
+            # reference las.py:220-226: multi-head selects
+            # MultiheadAttentionMechanism and asserts atype 'add'
+            assert self.attn_type == "add", \
+                "attn_n_heads > 1 requires attn_type 'add'"
+            from ..modules.attention import MultiheadAddAttention
+            self.attn = MultiheadAddAttention(
+                kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
+                odim=self.enc_n_units, n_heads=self.attn_n_heads,
+                dropout=self.dropout_att, external_kv=True)
         else:
             self.attn = AttentionMechanism(
                 kdim=self.enc_n_units, qdim=qdim, adim=self.attn_dim,
@@ -190,6 +203,11 @@ class LASStep(nn.Module):
             ctx, aw, myu = self.attn(values, values, query, mask,
                                      myu_prev=aw_prev[:, :self.attn.n_mixtures])
             aw_new = jnp.zeros_like(aw_prev).at[:, :self.attn.n_mixtures].set(myu)
+        elif self.attn_n_heads > 1:
+            ctx, aw = self.attn(None, values, query, mask,
+                                key_cache=key_cache,
+                                deterministic=deterministic)
+            aw_new = aw
         else:
             trig = trigger_t if self.attn_type == "triggered" else None
             ctx, aw = self.attn(None, values, query, mask, aw_prev,
@@ -273,6 +291,7 @@ class RNNDecoder(nn.Module):
     bottleneck_dim: int = 1024
     attn_type: str = "location"
     attn_dim: int = 512
+    attn_n_heads: int = 1
     attn_conv_n_channels: int = 10
     attn_conv_kernel_size: int = 201
     attn_sharpening_factor: float = 1.0
@@ -293,6 +312,8 @@ class RNNDecoder(nn.Module):
     mocha_no_denominator: bool = False
     mocha_eps_wait: int = -1
     mocha_stableemit_weight: float = 0.0
+    mocha_1dconv: bool = False
+    mocha_share_ca: bool = False
     quantity_loss_weight: float = 0.0
     latency_metric: str = ""         # '' | minlt | ctc_sync | decot
     latency_loss_weight: float = 0.0
@@ -307,7 +328,7 @@ class RNNDecoder(nn.Module):
             vocab=self.vocab, emb_dim=self.emb_dim, n_units=self.n_units,
             n_projs=self.n_projs, n_layers=self.n_layers,
             enc_n_units=self.enc_n_units, attn_type=self.attn_type,
-            attn_dim=self.attn_dim,
+            attn_dim=self.attn_dim, attn_n_heads=self.attn_n_heads,
             attn_conv_n_channels=self.attn_conv_n_channels,
             attn_conv_kernel_size=self.attn_conv_kernel_size,
             attn_sharpening_factor=self.attn_sharpening_factor,
@@ -323,11 +344,20 @@ class RNNDecoder(nn.Module):
             mocha_no_denominator=self.mocha_no_denominator,
             mocha_eps_wait=self.mocha_eps_wait,
             mocha_stableemit_weight=self.mocha_stableemit_weight,
+            mocha_1dconv=self.mocha_1dconv,
+            mocha_share_ca=self.mocha_share_ca,
             lm_fusion=self.lm_fusion, lm_n_units=self.lm_n_units,
             lm_n_layers=self.lm_n_layers, lm_emb_dim=self.lm_emb_dim)
         import os
+        # NSP_DEC_REMAT=1: recompute the step in the backward instead of
+        # saving its internals (drops the per-step [B,T,adim] tanh-energy
+        # residuals of location/add attention from HBM; the recompute is
+        # one extra small matmul chain per step)
+        step_cls = LASStep
+        if os.environ.get("NSP_DEC_REMAT") == "1":
+            step_cls = nn.remat(LASStep, static_argnums=(7,))
         self.step_scan = nn.scan(
-            LASStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=(1, 1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
@@ -348,8 +378,16 @@ class RNNDecoder(nn.Module):
             self.key_proj_mono = nn.Dense(self.attn_dim * h_ma,
                                           use_bias=True)
             if self.mocha_chunk_size != 1:
-                self.key_proj_chunk = nn.Dense(self.attn_dim * h_ma * h_ca,
+                # shared CA: one chunk-head set broadcast over MA heads
+                # (reference mocha.py:115)
+                h_ck = h_ca if self.mocha_share_ca else h_ma * h_ca
+                self.key_proj_chunk = nn.Dense(self.attn_dim * h_ck,
                                                use_bias=True)
+            if self.mocha_1dconv:
+                # relu(conv5-SAME) on the raw keys before the monotonic
+                # key projection (reference monotonic_energy.py:119-120)
+                self.mono_conv = nn.Conv(self.enc_n_units, (5,),
+                                         padding="SAME")
             # multihead only — with H_total == 1 the context consumes raw
             # eouts (reference mocha.py:120-122, :289-292)
             if h_ma * h_ca > 1:
@@ -358,8 +396,15 @@ class RNNDecoder(nn.Module):
             else:
                 self.key_proj_value = None
             self.key_proj = None
-        elif self.attn_type in ("location", "add"):
-            # reference w_key has a bias for add/location (attention.py:41,44)
+        elif self.attn_type == "add" and self.attn_n_heads > 1:
+            # multi-head additive: keys AND values projected once per
+            # utterance (reference multihead_attention.py:121-122)
+            self.key_proj = nn.Dense(self.attn_dim, use_bias=True)
+            self.value_proj = nn.Dense(self.attn_dim, use_bias=True)
+        elif self.attn_type in ("location", "add", "triggered"):
+            # reference w_key has a bias for add/location (attention.py:41,
+            # 44); 'triggered' uses the additive energy (attention.py:39-42)
+            # so it projects keys the same way
             self.key_proj = nn.Dense(self.attn_dim, use_bias=True)
         elif self.attn_type == "luong_general":
             qdim = self.n_projs if self.n_projs > 0 else self.n_units
@@ -371,12 +416,16 @@ class RNNDecoder(nn.Module):
         if self.attn_type == "cif":
             return eouts
         if self.attn_type == "mocha":
-            kc = {"mono": self.key_proj_mono(eouts),
+            mono_in = jax.nn.relu(self.mono_conv(eouts)) \
+                if self.mocha_1dconv else eouts
+            kc = {"mono": self.key_proj_mono(mono_in),
                   "value": self.key_proj_value(eouts)
                   if self.key_proj_value is not None else eouts}
             if self.mocha_chunk_size != 1:
                 kc["chunk"] = self.key_proj_chunk(eouts)
             return kc
+        if self.attn_type == "add" and self.attn_n_heads > 1:
+            return {"k": self.key_proj(eouts), "v": self.value_proj(eouts)}
         return self.key_proj(eouts) if self.key_proj is not None else eouts
 
     def init_carry(self, bs: int, tmax: int, dtype=jnp.float32,

@@ -65,6 +65,42 @@ class AttentionMechanism(nn.Module):
             return self.w_key(key)
         return key
 
+    def _location_conv(self, aw_prev: jnp.ndarray) -> jnp.ndarray:
+        """Location feature conv [B, Tk] -> [B, Tk, C], SAME padding.
+
+        NOT ``nn.Conv``: on TPU a width-201 1-D conv inside the decoder
+        scan measured ~9 ms/step-loop (tools/dec_ablate.py r3 — half the
+        whole decoder cost). Expressed instead as one [B, S] @ [S, Tk*C]
+        matmul against a Toeplitz expansion of the kernel; the expansion
+        is built with a one-hot contraction (never a gather — TPU gathers
+        serialise on the scalar unit) from the [K, C] weights and is
+        loop-invariant, so XLA hoists it out of the scan. Same math, same
+        parameters, MXU instead of the conv lowering."""
+        import os
+        bs, tk = aw_prev.shape
+        k = self.conv_kernel_size
+        if os.environ.get("NSP_LOC_CONV") == "xla" \
+                or self.is_initializing():
+            # escape hatch + init path: the nn.Conv call owns the kernel
+            # params (path 'conv/kernel', shared with the matmul path)
+            out = self.conv(aw_prev[..., None])
+            if not self.is_initializing() or \
+                    os.environ.get("NSP_LOC_CONV") == "xla":
+                return out
+        kernel = self.conv.variables["params"]["kernel"]   # [K, 1, C]
+        # SAME padding for stride 1: left = (k-1)//2
+        left = (k - 1) // 2
+        s = tk + k - 1
+        aw_pad = jnp.pad(aw_prev, ((0, 0), (left, k - 1 - left)))
+        si = jax.lax.broadcasted_iota(jnp.int32, (s, tk), 0)
+        ti = jax.lax.broadcasted_iota(jnp.int32, (s, tk), 1)
+        idx = si - ti                                 # tap index in [0, k)
+        oh = (idx[..., None] ==
+              jnp.arange(k)[None, None]).astype(kernel.dtype)  # [S, Tk, K]
+        toep = jnp.einsum("stj,jc->stc", oh, kernel[:, 0])     # [S, Tk, C]
+        return jnp.einsum("bs,stc->btc", aw_pad,
+                          toep.astype(aw_pad.dtype))
+
     def __call__(self, key, value, query, mask=None, aw_prev=None,
                  trigger_points=None, key_cache=None,
                  deterministic: bool = True):
@@ -84,7 +120,7 @@ class AttentionMechanism(nn.Module):
 
         if self.atype == "location":
             q = self.w_query(query)
-            f = self.w_conv(self.conv(aw_prev[..., None]))
+            f = self.w_conv(self._location_conv(aw_prev))
             e = self.v(jnp.tanh(key_cache + q[:, None] + f))[..., 0]
         elif self.atype == "add":
             q = self.w_query(query)
@@ -118,3 +154,61 @@ class AttentionMechanism(nn.Module):
         aw = self.drop(aw, deterministic=deterministic)
         ctx = jnp.einsum("bk,bkd->bd", aw, value)
         return ctx, aw
+
+
+class MultiheadAddAttention(nn.Module):
+    """Multi-head additive attention for the LAS decoder when
+    ``attn_n_heads > 1`` (reference ``multihead_attention.py:30-157``,
+    selected at ``las.py:220-226``; the reference asserts atype 'add').
+
+    Energies share the full ``adim``-wide tanh features across heads —
+    ``v`` maps adim -> n_heads (multihead_attention.py:61,135) — and the
+    per-head contexts are value-head slices re-projected by ``w_out`` to
+    ``odim`` (= enc units). Keys AND values are projected once per
+    utterance via ``precompute``; the per-token step does only the query
+    projection, the tanh energy, and two small contractions.
+    """
+    kdim: int
+    qdim: int
+    adim: int
+    odim: int
+    n_heads: int = 4
+    dropout: float = 0.0
+    external_kv: bool = False   # key/value projections owned by the caller
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.adim % self.n_heads == 0
+        if not self.external_kv:
+            self.w_key = nn.Dense(self.adim, param_dtype=self.param_dtype)
+            self.w_value = nn.Dense(self.adim, param_dtype=self.param_dtype)
+        self.w_query = nn.Dense(self.adim, param_dtype=self.param_dtype)
+        self.v = nn.Dense(self.n_heads, param_dtype=self.param_dtype)
+        self.w_out = nn.Dense(self.odim, param_dtype=self.param_dtype)
+        self.drop = Dropout(self.dropout)
+
+    def precompute(self, key: jnp.ndarray) -> dict:
+        """[B, Tk, kdim] -> cached projected keys/values."""
+        return {"k": self.w_key(key), "v": self.w_value(key)}
+
+    def __call__(self, key, value, query, mask=None, aw_prev=None,
+                 trigger_points=None, key_cache=None,
+                 deterministic: bool = True):
+        """query: [B, qdim]. Returns (ctx [B, odim], aw [B, Tk] head-mean
+        — the LAS carry/plot protocol is single-map; per-head maps stay
+        internal). ``aw_prev``/``trigger_points`` are interface dummies
+        (reference forward: aw_prev dummy, multihead_attention.py:100)."""
+        if key_cache is None:
+            key_cache = self.precompute(key)
+        k, val = key_cache["k"], key_cache["v"]
+        bs, tk = k.shape[:2]
+        dk = self.adim // self.n_heads
+        q = self.w_query(query)                                 # [B, adim]
+        e = self.v(jnp.tanh(k + q[:, None]))                    # [B, Tk, H]
+        if mask is not None:
+            e = apply_mask_logits(e, mask[..., None])
+        aw = jax.nn.softmax(e.astype(jnp.float32), axis=1).astype(e.dtype)
+        aw = self.drop(aw, deterministic=deterministic)         # [B, Tk, H]
+        vh = val.reshape(bs, tk, self.n_heads, dk)
+        ctx = jnp.einsum("bth,bthd->bhd", aw, vh).reshape(bs, self.adim)
+        return self.w_out(ctx), jnp.mean(aw, axis=-1)

@@ -759,3 +759,77 @@ def test_cross_entropy_lsm_parity(lsm, norm_len):
                                 normalize_length=norm_len)
     np.testing.assert_allclose(float(loss), float(loss_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------- multi-head add attention --
+def test_multihead_add_attention_parity():
+    """attn_n_heads > 1 LAS attention vs the reference
+    MultiheadAttentionMechanism (atype 'add', las.py:220-226)."""
+    from neural_sp.models.modules.multihead_attention import (
+        MultiheadAttentionMechanism as RefMHA)
+    from neural_sp_tpu.models.modules.attention import MultiheadAddAttention
+
+    torch.manual_seed(0)
+    kdim, qdim, adim, h, bs, tk = 12, 10, 16, 4, 2, 9
+    ref = RefMHA(kdim, qdim, adim, odim=kdim, n_heads=h, dropout=0.0,
+                 atype="add").eval()
+    ours = MultiheadAddAttention(kdim=kdim, qdim=qdim, adim=adim, odim=kdim,
+                                 n_heads=h)
+    key = torch.randn(bs, tk, kdim)
+    query = torch.randn(bs, 1, qdim)
+    mask = torch.ones(bs, 1, tk, dtype=torch.bool)
+    mask[1, :, 6:] = 0
+    cv, aw, _ = ref(key, key, query, mask)
+
+    kj = jnp.asarray(t2np(key))
+    qj = jnp.asarray(t2np(query)[:, 0])
+    mj = jnp.asarray(t2np(mask)[:, 0].astype(bool))
+    base = ours.init(RNG, kj, kj, qj, mj)["params"]
+    p = merge(zeros_like_tree(base), {
+        "w_key": lin(ref.w_key), "w_value": lin(ref.w_value),
+        "w_query": lin(ref.w_query), "v": lin(ref.v),
+        "w_out": lin(ref.w_out)})
+    ctx, aw_mean = ours.apply({"params": p}, kj, kj, qj, mj)
+    np.testing.assert_allclose(np.asarray(ctx), t2np(cv)[:, 0],
+                               rtol=1e-4, atol=1e-4)
+    # ref aw: [B, H, qlen, klen] -> head mean
+    np.testing.assert_allclose(np.asarray(aw_mean),
+                               t2np(aw)[:, :, 0].mean(1),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------- mocha conv1d energy ---
+def test_mocha_conv1d_parity():
+    """mocha_1dconv monotonic energy vs reference MonotonicEnergy
+    (monotonic_energy.py:64-67,119-120)."""
+    from neural_sp.models.modules.mocha.monotonic_energy import (
+        MonotonicEnergy as RefME)
+    from neural_sp_tpu.models.modules.mocha import MonotonicEnergy
+
+    torch.manual_seed(1)
+    kdim, qdim, adim, bs, tk = 12, 10, 16, 2, 9
+    ref = RefME(kdim, qdim, adim, atype="add", n_heads=1, init_r=-2,
+                conv1d=True).eval()
+    ours = MonotonicEnergy(kdim=kdim, qdim=qdim, adim=adim, n_heads=1,
+                           atype="add", init_r=-2.0, conv1d=True)
+    key = torch.randn(bs, tk, kdim)
+    query = torch.randn(bs, 1, qdim)
+    e_ref = ref(key, query, mask=None)  # [B, H, qlen, klen]
+
+    kj = jnp.asarray(t2np(key))
+    qj = jnp.asarray(t2np(query)[:, 0])
+    base = ours.init(
+        RNG, kj, qj,
+        method=lambda m, k, q: m(m.precompute(k), q))["params"]
+    # reference v is weight-normed: fold g*w/|w| into a plain kernel
+    v_w = t2np(torch.nn.utils.remove_weight_norm(ref.v).weight)
+    p = merge(zeros_like_tree(base), {
+        "w_key": lin(ref.w_key), "w_query": lin(ref.w_query, False),
+        "conv": {"kernel": t2np(ref.conv1d.weight).transpose(2, 1, 0),
+                 "bias": t2np(ref.conv1d.bias)},
+        "v": v_w,  # our v param is [H, adim]
+        "r": t2np(ref.r).reshape(1)})
+    e = ours.apply({"params": p}, kj, qj,
+                   method=lambda m, k, q: m(m.precompute(k), q))
+    np.testing.assert_allclose(np.asarray(e)[:, 0], t2np(e_ref)[:, 0, 0],
+                               rtol=1e-4, atol=1e-4)
