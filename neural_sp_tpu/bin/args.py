@@ -11,14 +11,21 @@ to checkpoints; eval reloads it and overlays ``recog_*`` flags
 from __future__ import annotations
 
 import os
+import re
 from types import SimpleNamespace
 
 import yaml
 
 
 def load_config(path: str) -> dict:
+    """YAML 1.1 parses dot-less exponent literals (``1e-3``, common in the
+    reference's recipe confs) as STRINGS; coerce number-like scalars so
+    ``lr: 1e-3`` reaches the trainer as a float."""
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        conf = yaml.safe_load(f) or {}
+    exp = re.compile(r"^-?\d+(\.\d+)?[eE][+-]?\d+$")
+    return {k: float(v) if isinstance(v, str) and exp.match(v) else v
+            for k, v in conf.items()}
 
 
 def save_config(conf: dict, path: str):

@@ -103,7 +103,11 @@ def main(argv=None):
         pad_xlen_multiple=getattr(args, "pad_xlen_multiple", 128),
         pad_ylen_multiple=getattr(args, "pad_ylen_multiple", 32),
         pad_batch_multiple=max(len(jax.devices()), 1))
-    train_set = build_dataloader(args.train_set, bucketing=args.bucketing,
+    # the reference also accepts shuffle_bucket: true (args_asr.py:227)
+    bucketing = "shuffle" if getattr(args, "shuffle_bucket", False) \
+        else args.bucketing
+    train_set = build_dataloader(args.train_set, bucketing=bucketing,
+                                 sort_stop_epoch=args.sort_stop_epoch,
                                  **loader_kw)
     dev_set = build_dataloader(args.dev_set, bucketing="sort", is_test=True,
                                **loader_kw)
@@ -278,7 +282,11 @@ def main(argv=None):
                             ("mocha_quantity_loss_start_epoch",
                              "mocha_quantity_loss_weight"),
                             ("mocha_latency_loss_start_epoch",
-                             "mocha_latency_loss_weight")):
+                             "mocha_latency_loss_weight"),
+                            # StableEmit curriculum (reference
+                            # train.py:375-376 trigger_stableemit)
+                            ("mocha_stableemit_start_epoch",
+                             "mocha_stableemit_weight")):
             start = getattr(args, flag, 0)
             if start and epoch < start and getattr(args, field, 0):
                 over.append((field, 0.0))
@@ -456,9 +464,14 @@ def main(argv=None):
                     (i + 1) * len(batch["utt_ids"]) / (time.time() - t0))
 
         # validation — jitted once; the loader's coarse padding grid keeps
-        # the number of compiled shape variants small
+        # the number of compiled shape variants small. Skipped (-> inf, so
+        # never "best") before eval_start_epoch (reference train.py:329).
         dev_loss, n_batches = 0.0, 0
-        for batch in dev_set:
+        dev_batches = dev_set \
+            if epoch >= getattr(args, "eval_start_epoch", 1) else []
+        if not dev_batches:
+            dev_loss = float("inf")
+        for batch in dev_batches:
             loss, obs = eval_step(
                 params, jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]),
                 jnp.asarray(batch["ys"]), jnp.asarray(batch["ylens"]))

@@ -148,10 +148,15 @@ def main(argv=None):
             if reporter.step % args.print_step == 0:
                 logger.info("step %d: loss %.3f ppl %.1f", reporter.step,
                             float(obs["loss"]), float(obs["ppl"]))
-        # dev ppl
+        # dev ppl (skipped -> inf before eval_start_epoch, reference
+        # lm/train.py:204)
         state = None
         tot_nll, tot_windows = 0.0, 0
-        for xi, xo in dev_set:
+        dev_iter = dev_set \
+            if epoch >= getattr(args, "eval_start_epoch", 1) else []
+        if not dev_iter:
+            tot_nll = float("inf")
+        for xi, xo in dev_iter:
             loss, state, obs = eval_step(params, jnp.asarray(xi),
                                          jnp.asarray(xo), state)
             tot_nll += float(jnp.log(obs["ppl"]))

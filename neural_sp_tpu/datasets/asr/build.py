@@ -28,6 +28,7 @@ def build_dataloader(
     pad_ylen_multiple: int = 8,
     pad_batch_multiple: int = 1,
     longform_max_n_frames: int = 0,
+    sort_stop_epoch: int = 10000,
     n_stacks: int = 1,
     n_skips: int = 1,
     n_splices: int = 1,
@@ -58,4 +59,5 @@ def build_dataloader(
         pad_ylen_multiple=pad_ylen_multiple,
         pad_batch_multiple=pad_batch_multiple,
         longform_max_n_frames=longform_max_n_frames,
+        sort_stop_epoch=sort_stop_epoch,
         n_stacks=n_stacks, n_skips=n_skips, n_splices=n_splices)

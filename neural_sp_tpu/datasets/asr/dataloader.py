@@ -98,6 +98,7 @@ class ASRDataLoader:
         pad_batch_multiple: int = 1,
         prefetch: int = 2,
         longform_max_n_frames: int = 0,
+        sort_stop_epoch: int = 10000,
         n_stacks: int = 1,
         n_skips: int = 1,
         n_splices: int = 1,
@@ -120,6 +121,7 @@ class ASRDataLoader:
         self.pad_batch_multiple = pad_batch_multiple
         self.prefetch = prefetch
         self.longform_max_n_frames = longform_max_n_frames
+        self.sort_stop_epoch = sort_stop_epoch
         self.epoch = 0
         self._batches = self._make_batches()
 
@@ -146,12 +148,18 @@ class ASRDataLoader:
             hasattr(c, "token2idx") else None
 
     def _make_batches(self):
+        # sorted batches accelerate early epochs; from sort_stop_epoch on,
+        # the whole data is shuffled per epoch (reference
+        # dataloader.py:72-86 sort -> shuffle switch)
+        bucketing = self.bucketing
+        if bucketing == "sort" and self.epoch >= self.sort_stop_epoch:
+            bucketing = "shuffle"
         return make_batches(
             self.dataset.df,
             batch_size=self.batch_size,
             batch_size_type=self.batch_size_type,
             dynamic_batching=self.dynamic_batching,
-            bucketing=self.bucketing,
+            bucketing=bucketing,
             seed=self.seed + self.epoch,
             num_replicas=self.num_replicas,
             longform_max_n_frames=self.longform_max_n_frames,

@@ -40,7 +40,10 @@ class TransformerDecoderBlock(nn.Module):
     src_atype: str = "mha"            # mha | mocha
     mocha_chunk_size: int = 1
     mocha_n_heads_mono: int = 1
+    mocha_n_heads_chunk: int = 1
     mocha_eps_wait: int = -1
+    # share CA heads among MA heads (reference transformer.py:252)
+    mocha_share_ca: bool = False
 
     @nn.compact
     def __call__(self, ys, self_mask=None, eouts=None, src_mask=None,
@@ -62,13 +65,15 @@ class TransformerDecoderBlock(nn.Module):
             # alpha recurrence over the output sequence
             h = nn.LayerNorm(name="norm_src")(ys)
             h_ma = self.mocha_n_heads_mono or self.n_heads
-            adim = self.d_model // h_ma
+            h_ca = self.mocha_n_heads_chunk
+            adim = self.d_model // (h_ma * h_ca)
             kc = {"mono": nn.Dense(adim * h_ma, use_bias=False,
                                    name="mma_key_mono")(eouts),
-                  "value": nn.Dense(adim * h_ma, use_bias=False,
+                  "value": nn.Dense(adim * h_ma * h_ca, use_bias=False,
                                     name="mma_key_value")(eouts)}
             if self.mocha_chunk_size != 1:
-                kc["chunk"] = nn.Dense(adim * h_ma, use_bias=False,
+                h_ck = h_ca if self.mocha_share_ca else h_ma * h_ca
+                kc["chunk"] = nn.Dense(adim * h_ck, use_bias=False,
                                        name="mma_key_chunk")(eouts)
             bs, tk = eouts.shape[:2]
             if alpha_prev is None:
@@ -81,6 +86,7 @@ class TransformerDecoderBlock(nn.Module):
                 out_axes=1)(
                 kdim=self.d_model, qdim=self.d_model, adim=adim,
                 chunk_size=self.mocha_chunk_size, n_heads_mono=h_ma,
+                n_heads_chunk=h_ca, share_ca=self.mocha_share_ca,
                 eps_wait=self.mocha_eps_wait, name="src_mma")
             pad_1d = src_mask[:, 0, :] if src_mask is not None else None
             alpha_new, (ctx, alphas) = scan_mma(
@@ -134,7 +140,9 @@ class TransformerDecoder(nn.Module):
     mma_first_layer: int = 0
     mocha_chunk_size: int = 1
     mocha_n_heads_mono: int = 1
+    mocha_n_heads_chunk: int = 1
     mocha_eps_wait: int = -1
+    mocha_share_ca: bool = False
     quantity_loss_weight: float = 0.0
 
     def _is_mma(self, lth: int) -> bool:
@@ -151,6 +159,8 @@ class TransformerDecoder(nn.Module):
                 src_atype="mocha" if self._is_mma(lth) else "mha",
                 mocha_chunk_size=self.mocha_chunk_size,
                 mocha_n_heads_mono=self.mocha_n_heads_mono,
+                mocha_n_heads_chunk=self.mocha_n_heads_chunk,
+                mocha_share_ca=self.mocha_share_ca,
                 mocha_eps_wait=self.mocha_eps_wait)
             for lth in range(self.n_layers)]
         self.norm_out = nn.LayerNorm()

@@ -15,6 +15,19 @@ from .tds import TDSEncoder
 from .gated_conv import GatedConvEncoder
 
 
+def _conv_norm(args):
+    """Frontend conv normalization: our unified ``conv_normalization``
+    spelling, or the reference's boolean pair ``conv_batch_norm`` /
+    ``conv_layer_norm`` (conv.py:118 choices)."""
+    norm = _get(args, "conv_normalization", "")
+    if not norm:
+        if _get(args, "conv_batch_norm", False):
+            norm = "batch_norm"
+        elif _get(args, "conv_layer_norm", False):
+            norm = "layer_norm"
+    return norm
+
+
 def _get(args, name, default=None):
     return getattr(args, name, default)
 
@@ -51,13 +64,16 @@ def build_encoder(args):
             conv_kernel_sizes=_get(args, "conv_kernel_sizes", ""),
             conv_strides=_get(args, "conv_strides", ""),
             conv_poolings=_get(args, "conv_poolings", ""),
-            conv_normalization=_get(args, "conv_normalization", ""),
+            conv_normalization=_conv_norm(args),
             conv_bottleneck_dim=_get(args, "conv_bottleneck_dim", 0),
             chunk_size_current=_get(args, "lc_chunk_size_current",
                                     _get(args, "chunk_size_current", -1)),
             chunk_size_right=_get(args, "lc_chunk_size_right",
                                   _get(args, "chunk_size_right", 0)),
-            bidir_sum_fwd_bwd=_get(args, "bidir_sum_fwd_bwd", True),
+            # reference rnn.py:222 — default FALSE (concat fwd/bwd); sum
+            # only when the conf sets it (all published BLSTM recipes do)
+            bidir_sum_fwd_bwd=_get(args, "bidirectional_sum_fwd_bwd",
+                                   _get(args, "bidir_sum_fwd_bwd", False)),
             task_specific_layer=_get(args, "task_specific_layer", False),
         )
 
@@ -98,7 +114,7 @@ def build_encoder(args):
             conv_kernel_sizes=_get(args, "conv_kernel_sizes", ""),
             conv_strides=_get(args, "conv_strides", ""),
             conv_poolings=_get(args, "conv_poolings", ""),
-            conv_frontend_normalization=_get(args, "conv_normalization", ""),
+            conv_frontend_normalization=_conv_norm(args),
             unidirectional=uni,
             chunk_size_left=_get(args, "lc_chunk_size_left", -1),
             chunk_size_current=_get(args, "lc_chunk_size_current", -1),

@@ -134,6 +134,26 @@ class RNNEncoder(nn.Module):
     def output_dim(self) -> int:
         return self.last_proj_dim if self.last_proj_dim > 0 else self._layer_dim()
 
+    def _output_dim_sub(self) -> int:
+        """Width of the sub1/sub2 tap streams: the task-specific layer
+        (when enabled) emits raw RNN units with NO per-layer projection
+        (rnn.py tap path), so its width differs from the main stream."""
+        if self.last_proj_dim > 0:
+            return self.last_proj_dim
+        if self.task_specific_layer:
+            return self.n_units if (not self.bidirectional
+                                    or self.bidir_sum_fwd_bwd) \
+                else 2 * self.n_units
+        return self._layer_dim()
+
+    @property
+    def output_dim_sub1(self) -> int:
+        return self._output_dim_sub()
+
+    @property
+    def output_dim_sub2(self) -> int:
+        return self._output_dim_sub()
+
     @property
     def lc(self) -> bool:
         return self.bidirectional and self.chunk_size_current > 0

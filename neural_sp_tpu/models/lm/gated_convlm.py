@@ -61,16 +61,22 @@ class GatedConvLM(nn.Module):
 
     @property
     def _specs(self):
-        return [(int(c), int(k)) for c, k in
-                (tok.split(":") for tok in self.layers.split("_"))]
+        """'channels:kernel[:bottleneck]' tokens."""
+        out = []
+        for tok in self.layers.split("_"):
+            parts = tok.split(":")
+            out.append((int(parts[0]), int(parts[1]),
+                        int(parts[2]) if len(parts) > 2 else 0))
+        return out
 
     def setup(self):
         self.embed = nn.Embed(self.vocab, self.emb_dim)
         blocks, resizes = [], []
         in_ch = self.emb_dim
-        for ch, k in self._specs:
+        for ch, k, bn in self._specs:
             resizes.append(nn.Dense(ch) if in_ch != ch else None)
-            blocks.append(CausalConvGLU(ch, k, dropout=self.dropout))
+            blocks.append(CausalConvGLU(ch, k, bottleneck_dim=bn,
+                                        dropout=self.dropout))
             in_ch = ch
         self.blocks = blocks
         self.resizes = resizes
@@ -99,12 +105,9 @@ class GatedConvLM(nn.Module):
 
     def init_cache(self, bs: int, dtype=jnp.float32):
         caches = []
-        in_ch = self.emb_dim
-        for ch, k in self._specs:
-            dim = in_ch if in_ch == ch else ch
-            caches.append(jnp.zeros((bs, k - 1, ch if in_ch != ch else in_ch),
-                                    dtype))
-            in_ch = ch
+        for ch, k, bn in self._specs:
+            # the block caches its post-bottleneck input (bn_in output)
+            caches.append(jnp.zeros((bs, k - 1, bn or ch), dtype))
         return caches
 
     def predict(self, y, state):

@@ -28,6 +28,10 @@ class RNNLM(nn.Module):
     dropout: float = 0.0
     dropout_emb: float = 0.0
     lsm_prob: float = 0.0
+    # simulate a null context vector concatenated to the embedding so the
+    # LM matches a fusion decoder's input layout (reference rnnlm.py:56,
+    # 187-188 --n_units_null_context)
+    n_units_null_context: int = 0
 
     def setup(self):
         self.embed = nn.Embed(self.vocab, self.emb_dim)
@@ -42,7 +46,15 @@ class RNNLM(nn.Module):
             self.asm = AdaptiveSoftmax(
                 vocab=self.vocab, d_in=self._odim(),
                 cutoffs=self.adaptive_softmax_cutoffs)
-        elif not self.tie_embedding:
+        elif self.tie_embedding:
+            # reference rnnlm.py:78-84: a bridge projection when the
+            # hidden dim differs from emb_dim, and the tied output layer
+            # keeps its own free bias (nn.Linear default)
+            self.output_proj = nn.Dense(self.emb_dim) \
+                if self._odim() != self.emb_dim else None
+            self.output_bias = self.param(
+                "output_bias", nn.initializers.zeros, (self.vocab,))
+        else:
             self.output = nn.Dense(self.vocab)
         self.drop = Dropout(self.dropout)
         self.drop_emb = Dropout(self.dropout_emb)
@@ -53,6 +65,10 @@ class RNNLM(nn.Module):
     def decode(self, ys, state=None, deterministic: bool = True):
         """ys: [B, T] -> (hidden [B, T, D], new_state)."""
         h = self.drop_emb(self.embed(ys), deterministic=deterministic)
+        if self.n_units_null_context > 0:
+            h = jnp.concatenate(
+                [h, jnp.zeros(h.shape[:-1] + (self.n_units_null_context,),
+                              h.dtype)], axis=-1)
         new_state = []
         for lth in range(self.n_layers):
             residual = h
@@ -72,9 +88,9 @@ class RNNLM(nn.Module):
         if self.adaptive_softmax:
             return self.asm.log_probs(h)  # already log-probs
         if self.tie_embedding:
-            assert self.emb_dim == self._odim(), \
-                "tie_embedding requires emb_dim == output dim"
-            return self.embed.attend(h)
+            if self.output_proj is not None:
+                h = self.output_proj(h)
+            return self.embed.attend(h) + self.output_bias
         return self.output(h)
 
     def __call__(self, ys_in, ys_out, state=None, deterministic: bool = True):

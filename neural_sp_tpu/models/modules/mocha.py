@@ -159,13 +159,16 @@ class MonotonicEnergy(nn.Module):
         self.r = self.param("r", lambda k: jnp.full((self.n_heads,),
                                                     self.init_r))
         if self.conv1d:
-            self.conv = nn.Conv(self.kdim, (5,), padding=[(4, 0)])
+            # reference monotonic_energy.py:64-67: kernel 5, SYMMETRIC
+            # padding (k-1)//2 ("lookahead is introduced"), relu, no
+            # residual, applied before w_key
+            self.conv = nn.Conv(self.kdim, (5,), padding="SAME")
 
     def precompute(self, key):
         if self.external_key:
             return key
         if self.conv1d:
-            key = jax.nn.relu(self.conv(key)) + key
+            key = jax.nn.relu(self.conv(key))
         return self.w_key(key)  # [B, T, H*A]
 
     def __call__(self, key_cache, query):
@@ -235,7 +238,15 @@ class MoChA(nn.Module):
     decot: bool = False
     decot_delta: int = 2
     stableemit_weight: float = 0.0
+    # share CA heads among MA heads (reference mocha.py:96,115 share_ca —
+    # one chunk-energy head set broadcast over the monotonic heads)
+    share_ca: bool = False
     external_keys: bool = False
+
+    @property
+    def n_chunk_energy_heads(self) -> int:
+        return (self.n_heads_chunk if self.share_ca
+                else self.n_heads_mono * self.n_heads_chunk)
 
     def setup(self):
         self.monotonic_energy = MonotonicEnergy(
@@ -244,7 +255,7 @@ class MoChA(nn.Module):
         if self.chunk_size != 1:
             self.chunk_energy = ChunkEnergy(
                 self.kdim, self.qdim, self.adim,
-                self.n_heads_mono * self.n_heads_chunk, self.atype,
+                self.n_chunk_energy_heads, self.atype,
                 external_key=self.external_keys)
         # reference mocha.py:120-122 — value/out projections exist only for
         # the multihead case; with H_total == 1 the context is the raw
@@ -309,7 +320,11 @@ class MoChA(nn.Module):
                 alpha[:, :, None, :]
         else:
             e_chunk = self.chunk_energy(key_cache["chunk"], query)
-            e_chunk = e_chunk.reshape(bs, h_ma, h_ca, t)
+            if self.share_ca:
+                e_chunk = jnp.broadcast_to(
+                    e_chunk.reshape(bs, 1, h_ca, t), (bs, h_ma, h_ca, t))
+            else:
+                e_chunk = e_chunk.reshape(bs, h_ma, h_ca, t)
             if mask is not None:
                 e_chunk = apply_mask_logits(e_chunk, mask[:, None, None, :])
             a4 = alpha[:, :, None, :]
@@ -353,10 +368,12 @@ class MMAStep(nn.Module):
     init_r: float = -4.0
     eps_wait: int = -1
     noise_std: float = 1.0
+    share_ca: bool = False
 
     def setup(self):
         self.mocha = MoChA(
             kdim=self.kdim, qdim=self.qdim, adim=self.adim,
+            share_ca=self.share_ca,
             chunk_size=self.chunk_size, n_heads_mono=self.n_heads_mono,
             n_heads_chunk=self.n_heads_chunk, init_r=self.init_r,
             eps_wait=self.eps_wait, noise_std=self.noise_std,

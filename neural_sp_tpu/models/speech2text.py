@@ -257,9 +257,21 @@ def build_speech2text(args) -> Speech2Text:
         if w <= 0:
             return None, None
         vocab_sub = g(f"vocab_{sub}", vocab)
-        c = CTC(vocab=vocab_sub, enc_n_units=enc_n_units,
+        # the sub tap's width can differ from the main stream (e.g. a
+        # task-specific layer emits unprojected n_units, rnn.py taps)
+        n_units_sub = getattr(enc, f"output_dim_{sub}", enc_n_units)
+        c = CTC(vocab=vocab_sub, enc_n_units=n_units_sub,
                 dropout=g("dropout_dec", 0.0)) if wc > 0 else None
-        d = build_decoder(args, vocab_sub, enc_n_units) if w - wc > 0 else None
+        d = None
+        if w - wc > 0:
+            # dec_config_sub1/2: per-sub-task decoder overrides (reference
+            # args_asr.py:44-75, e.g. a different dec_type for the sub head)
+            sub_args = args
+            over = g(f"dec_config_{sub}", None)
+            if isinstance(over, dict):
+                from types import SimpleNamespace
+                sub_args = SimpleNamespace(**{**vars(args), **over})
+            d = build_decoder(sub_args, vocab_sub, n_units_sub)
         return d, c
 
     dec_s1, ctc_s1 = sub_heads("sub1")
