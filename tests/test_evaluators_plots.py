@@ -135,15 +135,25 @@ def test_example_configs_parse_and_build():
     from types import SimpleNamespace
     from neural_sp_tpu.models.speech2text import build_speech2text
     from neural_sp_tpu.models.lm.build import build_lm
+    n_asr = n_lm = n_data = 0
     for path in glob.glob("examples/*/conf/**/*.yaml", recursive=True):
         with open(path) as f:
             conf = yaml.safe_load(f)
         conf["vocab"] = 50
         conf["input_dim"] = 80
         args = SimpleNamespace(**conf)
-        if "lm_type" in conf:
-            lm = build_lm(args)
+        if "lm_type" in conf or "/lm/" in path:
+            conf.setdefault("lm_type", "lstm")
+            lm = build_lm(SimpleNamespace(**conf))
             assert lm is not None, path
+            n_lm += 1
+        elif "enc_type" not in conf:
+            # data/decoding overlays (conf/data/*.yaml): no model topology
+            assert "/data/" in path or not any(
+                k.startswith(("enc_", "dec_")) for k in conf), path
+            n_data += 1
         else:
             model = build_speech2text(args)
             assert model is not None, path
+            n_asr += 1
+    assert n_asr > 100 and n_lm > 15 and n_data > 20, (n_asr, n_lm, n_data)
