@@ -67,35 +67,38 @@ def flagship_args():
     )
 
 
+def _deadman(seconds: int, msg: str):
+    """Thread-based deadline -> os._exit(3). SIGALRM is NOT enough here:
+    when the main thread hangs inside the tunnel's blocking C call the
+    handler is deferred forever (observed: a 150 s alarm never fired over
+    a 1200 s hang); a daemon thread's os._exit is immune. exit code 3
+    tells the retry wrapper to respawn into a fresh compile worker."""
+    import threading
+
+    def _bail():
+        print(f"deadman: {msg} ({seconds}s), respawning",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, _bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _preflight(seconds: int = 150):
     """The remote compile pool has a lottery: some workers hang compiles
     indefinitely (ROADMAP environment notes). Probe with a trivial compile
-    under SIGALRM; on timeout exit(3) so the parent wrapper respawns into
-    a (hopefully) healthy worker."""
-    import signal
-
-    def _bail(signum, frame):
-        print("preflight: compile worker unresponsive, respawning",
-              file=sys.stderr, flush=True)
-        os._exit(3)
-
-    signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(seconds)
+    under a deadman thread; on timeout exit(3) so the parent wrapper
+    respawns into a (hopefully) healthy worker."""
+    t = _deadman(seconds, "preflight compile unresponsive")
     x = jnp.ones((256, 256), jnp.float32)
     float((x @ x).sum())
-    signal.alarm(0)
+    t.cancel()
 
 
 def _watchdog(seconds: int):
-    import signal
-
-    def _bail(signum, frame):
-        print(f"watchdog: no progress in {seconds}s, respawning",
-              file=sys.stderr, flush=True)
-        os._exit(3)
-
-    signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(seconds)
+    return _deadman(seconds, "no progress")
 
 
 def main():
@@ -105,7 +108,7 @@ def main():
     from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
 
     _preflight()
-    _watchdog(1800)  # covers the flagship compile; cleared before timing
+    wd = _watchdog(1800)  # covers the flagship compile; cancelled below
 
     args = flagship_args()
     model = build_speech2text(args)
@@ -148,7 +151,7 @@ def main():
     params, opt_state, m = step(params, opt_state, key, xs, xlens, ys, ylens)
     force(params)  # compile + warm (forces the full optimizer chain)
     import signal
-    signal.alarm(0)  # compile done; timing loops run unwatched
+    wd.cancel()  # compile done; timing loops run unwatched
 
     # enough iterations that per-dispatch host/tunnel jitter amortises;
     # best-of-3 windows guards against transient contention
@@ -194,7 +197,39 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    payload = {
+        "metric": "flagship_conformer_las_train_throughput",
+        "value": round(utts_per_sec, 2),
+        "unit": "utts/sec/chip",
+        "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
+        "step_ms": round(dt * 1e3, 2),
+        "frames_per_step": bs * t,
+        "mfu": round(mfu, 4) if mfu > 0 else None,
+        "n_params_m": round(n_params / 1e6, 1),
+        "device": jax.devices()[0].device_kind,
+        "compute_dtype": "bfloat16",
+    }
     extras = {}
+
+    def _emit():
+        print(json.dumps({**payload,
+                          **{f"extra_{k}": v for k, v in extras.items()}}),
+              flush=True)
+
+    # the SIGALRM guard below can't fire while an extra hangs inside the
+    # tunnel's blocking C call (handler deferred) — a deadman THREAD makes
+    # the primary metric un-losable: emit what we have and exit clean
+    import threading
+
+    def _emit_and_exit():
+        extras["aborted"] = "extras deadman fired (compile worker hang)"
+        _emit()
+        os._exit(0)
+
+    dead = threading.Timer(3600, _emit_and_exit)
+    dead.daemon = True
+    dead.start()
+
     try:
         extras["bucketed"] = _alarmed(_bench_bucketed, step, params,
                                       opt_state, key, args, force)
@@ -211,19 +246,8 @@ def main():
     except Exception as e:
         extras["streaming"] = {"error": str(e)[:120]}
 
-    print(json.dumps({
-        "metric": "flagship_conformer_las_train_throughput",
-        "value": round(utts_per_sec, 2),
-        "unit": "utts/sec/chip",
-        "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
-        "step_ms": round(dt * 1e3, 2),
-        "frames_per_step": bs * t,
-        "mfu": round(mfu, 4) if mfu > 0 else None,
-        "n_params_m": round(n_params / 1e6, 1),
-        "device": jax.devices()[0].device_kind,
-        "compute_dtype": "bfloat16",
-        **{f"extra_{k}": v for k, v in extras.items()},
-    }))
+    dead.cancel()
+    _emit()
 
 
 def _bench_bucketed(step, params, opt_state, key, args, force):
@@ -240,7 +264,11 @@ def _bench_bucketed(step, params, opt_state, key, args, force):
     xlens = jnp.asarray(lens, jnp.int32)
     ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
     ylens = jnp.full((bs,), u, jnp.int32)
-    p, o, m = step(params, opt_state, key, xs, xlens, ys, ylens)
+    # step donates its params/opt_state args — feed it copies so the
+    # caller's buffers survive for the decode extra
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.tree.map(jnp.copy, opt_state)
+    p, o, m = step(p, o, key, xs, xlens, ys, ylens)
     force(m["loss"])
     best = float("inf")
     for w in range(2):

@@ -135,28 +135,39 @@ class LASStep(nn.Module):
         self.drop = Dropout(self.dropout)
         self.drop_emb = Dropout(self.dropout_emb)
 
-    def __call__(self, carry, y_t, trigger_t, ctx_t, key_cache, values,
-                 mask, deterministic: bool = True):
+    def __call__(self, carry, y_t, trigger_t, ctx_t, emb_gates_t, key_cache,
+                 values, mask, deterministic: bool = True):
         """carry: (cell_states tuple, aw_prev [B,Tk], ctx_prev [B,D],
         prev_logits [B,V], lm_state); y_t: [B] int token ids;
         trigger_t: [B] per-step attention boundary (triggered attention /
         DeCoT — pass tmax-1 to disable); ctx_t: [B, D] externally
         integrated context, consumed when attn_type == "cif" (continuous
-        integrate-and-fire precomputes all contexts, reference cif.py).
+        integrate-and-fire precomputes all contexts, reference cif.py);
+        emb_gates_t: [B, 4*n_units] hoisted embedding half of the layer-0
+        LSTM gate pre-activations (``hoist_emb_gates``) — pass a [B, 0]
+        array to use the in-step embedding path instead.
         Returns (new_carry, (logits_t [B,V], aw [B,Tk]))."""
         cell_states, aw_prev, ctx_prev, prev_logits, lm_state = carry
+        emb_hoisted = emb_gates_t is not None and emb_gates_t.shape[-1] > 0
         y_in = y_t
         if self.ss_prob > 0 and not deterministic:
             use_ss = jax.random.bernoulli(
                 self.make_rng("dropout"), self.ss_prob, y_t.shape)
             y_in = jnp.where(use_ss, jnp.argmax(prev_logits, -1), y_t)
-        emb = self.drop_emb(self.embed(y_in), deterministic=deterministic)
-
-        h = jnp.concatenate([emb, ctx_prev], axis=-1)
+        if emb_hoisted:
+            h = None  # layer 0 consumes emb_gates_t + ctx_prev directly
+        else:
+            emb = self.drop_emb(self.embed(y_in),
+                                deterministic=deterministic)
+            h = jnp.concatenate([emb, ctx_prev], axis=-1)
         new_states = []
         douts = []
         for lth in range(self.n_layers):
-            st, h = self.cells[lth](cell_states[lth], h)
+            if lth == 0 and emb_hoisted:
+                st, h = self._cell0_hoisted(cell_states[0], emb_gates_t,
+                                            ctx_prev)
+            else:
+                st, h = self.cells[lth](cell_states[lth], h)
             if self.zoneout > 0:
                 # classic zoneout (Krueger et al.; reference
                 # modules/zoneout.py — NOTE the reference inverts the
@@ -278,6 +289,49 @@ class LASStep(nn.Module):
             if self.lm_fusion else None
         return self._generate(dout, ctx, lm_raw, deterministic)
 
+    def _cell0_kernels(self):
+        """Layer-0 LSTM kernels concatenated over the (i, f, g, o) gate
+        order of flax ``OptimizedLSTMCell``, split at the embedding/context
+        boundary of the concat input [emb, ctx_prev]."""
+        p = self.cells[0].variables["params"]
+        k_in = jnp.concatenate([p[f"i{g}"]["kernel"] for g in "ifgo"], -1)
+        k_h = jnp.concatenate([p[f"h{g}"]["kernel"] for g in "ifgo"], -1)
+        b_h = jnp.concatenate([p[f"h{g}"]["bias"] for g in "ifgo"], -1)
+        return k_in[:self.emb_dim], k_in[self.emb_dim:], k_h, b_h
+
+    def hoist_emb_gates(self, ys_in, deterministic: bool = True):
+        """Precompute the embedding half of the layer-0 LSTM gate
+        pre-activations for ALL teacher-forcing steps at once: one big
+        [B*U, E] gather + one [B*U, E]x[E, 4*n_units] matmul replace a
+        per-step embedding gather (pathological on TPU) and a per-step
+        slice of the layer-0 input matmul inside the decode scan.
+        Returns [B, U, 4*n_units]; only valid when scheduled sampling is
+        off for this pass (``hoists_readout`` gating)."""
+        emb = self.drop_emb(self.embed(ys_in), deterministic=deterministic)
+        k_emb, _, _, _ = self._cell0_kernels()
+        from flax.linen.dtypes import promote_dtype
+        emb, k_emb = promote_dtype(emb, k_emb, dtype=None)
+        return jnp.dot(emb, k_emb)
+
+    def _cell0_hoisted(self, carry, emb_gates_t, ctx_prev):
+        """Layer-0 LSTM step consuming hoisted embedding gate
+        pre-activations (``hoist_emb_gates``): only the ctx half of the
+        input matmul and the recurrent matmul run inside the scan.
+        Mirrors flax ``OptimizedLSTMCell`` math (gate order i, f, g, o)."""
+        c, h = carry
+        _, k_ctx, k_h, b_h = self._cell0_kernels()
+        from flax.linen.dtypes import promote_dtype
+        ctx_prev, h, k_ctx, k_h, b_h = promote_dtype(
+            ctx_prev, h, k_ctx, k_h, b_h, dtype=None)
+        y = (emb_gates_t.astype(k_h.dtype) + jnp.dot(ctx_prev, k_ctx)
+             + jnp.dot(h, k_h) + b_h[None])
+        i, f, g, o = jnp.split(y, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        new_c = f * c.astype(g.dtype) + i * g
+        new_h = o * jnp.tanh(new_c)
+        return (new_c, new_h), new_h
+
 
 class RNNDecoder(nn.Module):
     """Training forward + greedy decode. Beam search lives in
@@ -355,12 +409,12 @@ class RNNDecoder(nn.Module):
         # one extra small matmul chain per step)
         step_cls = LASStep
         if os.environ.get("NSP_DEC_REMAT") == "1":
-            step_cls = nn.remat(LASStep, static_argnums=(7,))
+            step_cls = nn.remat(LASStep, static_argnums=(8,))
         self.step_scan = nn.scan(
             step_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=(1, 1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
+            in_axes=(1, 1, 1, 1, nn.broadcast, nn.broadcast, nn.broadcast,
                      nn.broadcast),
             out_axes=1,
             # per-iteration loop overhead knob (sequential deps unchanged)
@@ -500,9 +554,13 @@ class RNNDecoder(nn.Module):
         else:
             ctx_steps = jnp.zeros(
                 (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
+        if hoisted and not self.is_initializing():
+            emb_gates = self.step_scan.hoist_emb_gates(ys_in, deterministic)
+        else:
+            emb_gates = jnp.zeros((bs, ys_in.shape[1], 0), eouts.dtype)
         carry, (outs, aws) = self.step_scan(
-            carry, ys_in, trig, ctx_steps, key_cache, eouts, mask,
-            deterministic)
+            carry, ys_in, trig, ctx_steps, emb_gates, key_cache, eouts,
+            mask, deterministic)
         # hoisted readout: ONE batched matmul pair over all steps
         logits = self.step_scan.readout(outs, deterministic) if hoisted \
             else outs
@@ -594,8 +652,13 @@ class RNNDecoder(nn.Module):
         else:
             ctx_steps = jnp.zeros(
                 (bs, ys_in.shape[1], self.enc_n_units), eouts.dtype)
+        if self.step_scan.hoists_readout(True) and not self.is_initializing():
+            emb_gates = self.step_scan.hoist_emb_gates(ys_in, True)
+        else:
+            emb_gates = jnp.zeros((bs, ys_in.shape[1], 0), eouts.dtype)
         _, (outs, _) = self.step_scan(
-            carry, ys_in, trig, ctx_steps, key_cache, eouts, mask, True)
+            carry, ys_in, trig, ctx_steps, emb_gates, key_cache, eouts,
+            mask, True)
         logits = self.step_scan.readout(outs, True) \
             if self.step_scan.hoists_readout(True) else outs
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
@@ -609,8 +672,10 @@ class RNNDecoder(nn.Module):
         training scan (scan over one step)."""
         trig = jnp.full((y_t.shape[0], 1), eouts.shape[1] - 1, jnp.int32)
         ctx0 = jnp.zeros((y_t.shape[0], 1, self.enc_n_units), eouts.dtype)
+        eg0 = jnp.zeros((y_t.shape[0], 1, 0), eouts.dtype)
         carry, (outs, aws) = self.step_scan(
-            carry, y_t[:, None], trig, ctx0, key_cache, eouts, mask, True)
+            carry, y_t[:, None], trig, ctx0, eg0, key_cache, eouts, mask,
+            True)
         logits = self.step_scan.readout(outs, True) \
             if self.step_scan.hoists_readout(True) else outs
         return carry, logits[:, 0], aws[:, 0]
@@ -647,8 +712,9 @@ class RNNDecoder(nn.Module):
             y_dummy, ctx_t = xs_t
             step_carry, y_prev, done = carry
             trig = jnp.full((y_prev.shape[0], 1), tmax - 1, jnp.int32)
+            eg0 = jnp.zeros((y_prev.shape[0], 1, 0), eouts.dtype)
             step_carry, (outs, _) = mdl(
-                step_carry, y_prev[:, None], trig, ctx_t[:, None],
+                step_carry, y_prev[:, None], trig, ctx_t[:, None], eg0,
                 key_cache, eouts, mask, True)
             logits = (mdl.readout(outs, True)
                       if mdl.hoists_readout(True) else outs)[:, 0]
