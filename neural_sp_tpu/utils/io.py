@@ -18,8 +18,9 @@ from ..ops.audio import mel_filterbank, povey_window
 
 
 def read_audio(path: str) -> tuple[np.ndarray, int]:
-    """Dispatch on extension: .wav (stdlib) or .flac (native C++ decoder,
-    native/nsp_flac.cc — LibriSpeech stage-0)."""
+    """Dispatch on extension: .wav (stdlib), .flac (native C++ decoder,
+    native/nsp_flac.cc — LibriSpeech stage-0) or .sph (NIST SPHERE,
+    TEDLIUM stage-0)."""
     if path.lower().endswith(".flac"):
         from .native import read_flac
         out = read_flac(path)
@@ -30,7 +31,76 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
         if x.ndim > 1:
             x = x.mean(axis=1)
         return x, sr
+    if path.lower().endswith(".sph"):
+        return read_sph(path)
     return read_wav(path)
+
+
+# mu-law expansion table (G.711, mu = 255) for SPHERE sample_coding ulaw
+_ULAW = None
+
+
+def _ulaw_table() -> np.ndarray:
+    global _ULAW
+    if _ULAW is None:
+        u = np.arange(256, dtype=np.uint8)
+        u = ~u
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+        _ULAW = (sign * (mag - 0x84) / 32768.0).astype(np.float32)
+    return _ULAW
+
+
+def read_sph(path: str) -> tuple[np.ndarray, int]:
+    """Read a NIST SPHERE file (TEDLIUM/WSJ/swbd audio; the reference
+    pipes these through Kaldi's sph2pipe, e.g.
+    examples/tedlium/s5 data prep). Supports pcm (8/16/24-bit, either
+    byte order) and mu-law codings; shorten-compressed files raise."""
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"NIST_1A"):
+            raise ValueError(f"{path}: not a NIST SPHERE file")
+        header_size = int(f.readline().strip())
+        f.seek(0)
+        header = f.read(header_size).decode("latin-1")
+        fields = {}
+        for line in header.splitlines()[2:]:
+            line = line.strip()
+            if line == "end_head" or not line:
+                break
+            parts = line.split(None, 2)
+            if len(parts) == 3 and parts[1].startswith("-"):
+                fields[parts[0]] = parts[2]
+        sr = int(fields.get("sample_rate", 16000))
+        n_bytes = int(fields.get("sample_n_bytes", 2))
+        ch = int(fields.get("channel_count", 1))
+        coding = fields.get("sample_coding", "pcm")
+        byte_fmt = fields.get("sample_byte_format", "01")
+        if "shorten" in coding or "shorten" in byte_fmt:
+            raise ValueError(
+                f"{path}: shorten-compressed SPHERE is not supported; "
+                "decompress with sph2pipe first")
+        f.seek(header_size)
+        raw = f.read()
+    if coding.startswith("ulaw") or coding.startswith("mu-law"):
+        x = _ulaw_table()[np.frombuffer(raw, np.uint8)]
+    elif n_bytes == 2:
+        dt = np.dtype(np.int16).newbyteorder(
+            "<" if byte_fmt == "01" else ">")
+        x = np.frombuffer(raw, dt).astype(np.float32) / 32768.0
+    elif n_bytes == 1:
+        x = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    elif n_bytes == 4:
+        dt = np.dtype(np.int32).newbyteorder(
+            "<" if byte_fmt == "01" else ">")
+        x = np.frombuffer(raw, dt).astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"{path}: unsupported sample_n_bytes {n_bytes}")
+    if ch > 1:
+        x = x[: len(x) // ch * ch].reshape(-1, ch).mean(axis=1)
+    return x, sr
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:

@@ -52,20 +52,38 @@ def extract_features(
     n_mels: int = 80,
     cmvn: tuple | None = None,
     speed_perturbs=(),
+    segments: dict[str, tuple] | None = None,
 ) -> tuple[dict[str, str], dict[str, int], tuple]:
     """wav_scp: utt_id -> wav path. Returns (feat paths, lens, cmvn).
 
     ``speed_perturbs``: e.g. (0.9, 1.0, 1.1) — 3-way speed perturbation
     (train set only; reference run.sh:138-147 + speed_perturb_3way.sh);
-    perturbed copies get 'sp<f>-' utt-id prefixes."""
+    perturbed copies get 'sp<f>-' utt-id prefixes.
+
+    ``segments``: Kaldi-style utterance windows into long recordings
+    (TEDLIUM/swbd/ami stage-0): utt_id -> (rec_id, t_begin_s, t_end_s),
+    with ``wav_scp`` keyed by rec_id. Each recording decodes once."""
     os.makedirs(feat_dir, exist_ok=True)
     factors = tuple(speed_perturbs) or (1.0,)
     raw = {}
-    for utt, path in wav_scp.items():
-        x, sr = read_audio(path)
-        for f in factors:
-            raw[sp_utt_id(utt, f)] = logmel_fbank_np(
-                speed_perturb_wave(x, f), sample_rate=sr, n_mels=n_mels)
+    if segments:
+        for rec, path in wav_scp.items():
+            utts = [(u, s) for u, s in segments.items() if s[0] == rec]
+            if not utts:
+                continue
+            x, sr = read_audio(path)
+            for utt, (_, t0, t1) in utts:
+                seg = x[int(round(t0 * sr)): int(round(t1 * sr))]
+                for f in factors:
+                    raw[sp_utt_id(utt, f)] = logmel_fbank_np(
+                        speed_perturb_wave(seg, f), sample_rate=sr,
+                        n_mels=n_mels)
+    else:
+        for utt, path in wav_scp.items():
+            x, sr = read_audio(path)
+            for f in factors:
+                raw[sp_utt_id(utt, f)] = logmel_fbank_np(
+                    speed_perturb_wave(x, f), sample_rate=sr, n_mels=n_mels)
     if cmvn is None:
         cmvn = compute_cmvn_stats(list(raw.values()))
     mean, std = cmvn
@@ -77,6 +95,37 @@ def extract_features(
         paths[utt] = p
         lens[utt] = feat.shape[0]
     return paths, lens, cmvn
+
+
+def parse_stm(path: str) -> list[dict]:
+    """Parse an NIST STM transcript file (TEDLIUM stage-0; reference
+    examples/tedlium/s5 data prep via Kaldi local scripts): lines
+    ``<rec> <chan> <spk> <t0> <t1> [<label>] words...``. Returns utterance
+    dicts with Kaldi-style ids ``<spk>-<t0cs:07d>-<t1cs:07d>``; segments
+    marked ignore_time_segment_in_scoring are dropped."""
+    utts = []
+    for line in open(path, encoding="utf-8", errors="replace"):
+        line = line.strip()
+        if not line or line.startswith(";;"):
+            continue
+        parts = line.split(None, 6)
+        if len(parts) < 6:
+            continue
+        rec, _chan, spk, t0, t1 = parts[:5]
+        rest = parts[5] if len(parts) == 6 else " ".join(parts[5:])
+        if rest.startswith("<"):
+            label, _, rest = rest.partition(">")
+            if "ignore_time_segment_in_scoring" in label:
+                continue
+            rest = rest.strip()
+        if not rest or rest == "ignore_time_segment_in_scoring":
+            continue
+        t0, t1 = float(t0), float(t1)
+        utt = f"{spk}-{int(round(t0 * 100)):07d}-{int(round(t1 * 100)):07d}"
+        utts.append({"utt_id": utt, "speaker": spk, "rec": rec,
+                     "t0": t0, "t1": t1,
+                     "text": rest.replace(" '", "'").lower()})
+    return utts
 
 
 def make_vocab(texts, unit: str, out_path: str, vocab_size: int = 0,

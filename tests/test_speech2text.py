@@ -119,7 +119,9 @@ def test_overfit_blstm_ctc_ci_corpus(tmp_path):
 
     params = v["params"]
     losses = []
-    for i in range(150):
+    # 250 steps: convergence to exact decode happens ~step 200-250 (at 150
+    # it sits on the 6-8/16 margin and tracks harmless numeric drift)
+    for i in range(250):
         params, opt_state, loss = step(params, opt_state, xs, xlens, ys, ylens)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.25, (losses[0], losses[-1])
@@ -133,5 +135,5 @@ def test_overfit_blstm_ctc_ci_corpus(tmp_path):
     hyps = ctc_greedy(np.asarray(paths_best), np.asarray(eouts["ys"]["xlens"]))
     refs = [list(map(int, filter(lambda t: t != 3, row)))
             for row in np.asarray(ys)]
-    n_match = sum(h == r[:len(h)] and len(h) > 0 for h, r in zip(hyps, refs))
-    assert n_match >= len(hyps) // 2, list(zip(hyps, refs))
+    n_match = sum(h == r for h, r in zip(hyps, refs))
+    assert n_match >= 14, list(zip(hyps, refs))
