@@ -197,6 +197,18 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    if os.environ.get("NSP_BENCH_FAST") == "1":
+        # iteration mode: primary metric only, no extras
+        print(json.dumps({
+            "metric": "flagship_conformer_las_train_throughput",
+            "value": round(utts_per_sec, 2),
+            "unit": "utts/sec/chip",
+            "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
+            "step_ms": round(dt * 1e3, 2),
+            "mfu": round(mfu, 4) if mfu > 0 else None,
+        }), flush=True)
+        return
+
     payload = {
         "metric": "flagship_conformer_las_train_throughput",
         "value": round(utts_per_sec, 2),
