@@ -197,30 +197,26 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    if os.environ.get("NSP_BENCH_FAST") == "1":
-        # iteration mode: primary metric only, no extras
-        print(json.dumps({
-            "metric": "flagship_conformer_las_train_throughput",
-            "value": round(utts_per_sec, 2),
-            "unit": "utts/sec/chip",
-            "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
-            "step_ms": round(dt * 1e3, 2),
-            "mfu": round(mfu, 4) if mfu > 0 else None,
-        }), flush=True)
-        return
-
+    # shared core payload — fast mode prints it as-is; full mode extends it
     payload = {
         "metric": "flagship_conformer_las_train_throughput",
         "value": round(utts_per_sec, 2),
         "unit": "utts/sec/chip",
         "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
         "step_ms": round(dt * 1e3, 2),
-        "frames_per_step": bs * t,
         "mfu": round(mfu, 4) if mfu > 0 else None,
+    }
+    if os.environ.get("NSP_BENCH_FAST") == "1":
+        # iteration mode: primary metric only, no extras
+        print(json.dumps(payload), flush=True)
+        return
+
+    payload.update({
+        "frames_per_step": bs * t,
         "n_params_m": round(n_params / 1e6, 1),
         "device": jax.devices()[0].device_kind,
         "compute_dtype": "bfloat16",
-    }
+    })
     extras = {}
 
     def _emit():
@@ -263,36 +259,64 @@ def main():
 
 
 def _bench_bucketed(step, params, opt_state, key, args, force):
-    """Mixed-length batch (real bucketing: sorted lengths, padded to the
-    bucket max): utts/s counting only REAL frames."""
-    lens = [1500, 1500, 1400, 1400, 1300, 1300, 1200, 1200,
-            1100, 1100, 1000, 1000, 900, 900, 800, 800]
-    bs, t, u = len(lens), max(lens), 100
+    """Realistic mixed-length training: the SAME length population as r3's
+    single mixed batch (800-1500 frames), but batched by the sampler's
+    padded-area shape grid (sampler._batch_size_padded_area, grid_t=128):
+    each batch is padded to its grid ceiling and sized so the padded area
+    stays <= 24000 frames. Times every distinct compiled shape once and
+    aggregates epoch throughput over REAL utterances; pad_waste counts pad
+    frames in the padded areas actually dispatched."""
+    import pandas as pd
+    from neural_sp_tpu.datasets.asr.sampler import make_batches, _round_up
+    grid_t = 128
+    lens_pop = sorted([1500, 1500, 1400, 1400, 1300, 1300, 1200, 1200,
+                       1100, 1100, 1000, 1000, 900, 900, 800, 800] * 6)
+    df = pd.DataFrame({"xlen": lens_pop, "ylen": [100] * len(lens_pop),
+                       "utt_id": [f"u{i}" for i in range(len(lens_pop))]})
+    batches = make_batches(df, batch_size=24000, batch_size_type="frame",
+                           bucketing="sort", shape_grid_t=grid_t)
+    # collapse to distinct (bs, t_pad) shapes; time each once
+    shapes = {}
+    for b in batches:
+        blens = [lens_pop[i] for i in b]
+        shape = (len(b), _round_up(max(blens), grid_t))
+        cnt, real = shapes.get(shape, (0, 0))
+        shapes[shape] = (cnt + 1, real + sum(blens))
+    u = 100
     rng = np.random.default_rng(1)
-    xs = np.zeros((bs, t, 80), np.float32)
-    for i, L in enumerate(lens):
-        xs[i, :L] = rng.standard_normal((L, 80))
-    xs = jnp.asarray(xs)
-    xlens = jnp.asarray(lens, jnp.int32)
-    ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
-    ylens = jnp.full((bs,), u, jnp.int32)
-    # step donates its params/opt_state args — feed it copies so the
-    # caller's buffers survive for the decode extra
     p = jax.tree.map(jnp.copy, params)
     o = jax.tree.map(jnp.copy, opt_state)
-    p, o, m = step(p, o, key, xs, xlens, ys, ylens)
-    force(m["loss"])
-    best = float("inf")
-    for w in range(2):
-        t0 = time.perf_counter()
-        for i in range(10):
-            p, o, m = step(p, o, jax.random.fold_in(key, 999 + i),
-                           xs, xlens, ys, ylens)
+    total_time = 0.0
+    total_utts = 0
+    total_real = 0
+    total_area = 0
+    for (bs, t), (cnt, real) in sorted(shapes.items()):
+        xs = np.zeros((bs, t, 80), np.float32)
+        blens = [L for L in lens_pop if L <= t][-bs:]
+        for i, L in enumerate(blens):
+            xs[i, :L] = rng.standard_normal((L, 80))
+        xs = jnp.asarray(xs)
+        xlens = jnp.asarray(blens, jnp.int32)
+        ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
+        ylens = jnp.full((bs,), u, jnp.int32)
+        p, o, m = step(p, o, key, xs, xlens, ys, ylens)  # compile + warm
         force(m["loss"])
-        best = min(best, (time.perf_counter() - t0) / 10)
-    return {"utts_per_sec": round(bs / best, 2),
-            "step_ms": round(best * 1e3, 2),
-            "pad_waste": round(1.0 - sum(lens) / (bs * t), 3)}
+        best = float("inf")
+        for w in range(2):
+            t0 = time.perf_counter()
+            for i in range(5):
+                p, o, m = step(p, o, jax.random.fold_in(key, 999 + i),
+                               xs, xlens, ys, ylens)
+            force(m["loss"])
+            best = min(best, (time.perf_counter() - t0) / 5)
+        total_time += best * cnt
+        total_utts += bs * cnt
+        total_real += real
+        total_area += bs * t * cnt
+    return {"utts_per_sec": round(total_utts / total_time, 2),
+            "n_shapes": len(shapes),
+            "grid_t": grid_t,
+            "pad_waste": round(1.0 - total_real / total_area, 3)}
 
 
 def _bench_decode_beam(model, params, force):

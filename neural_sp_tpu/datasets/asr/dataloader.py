@@ -98,6 +98,7 @@ class ASRDataLoader:
         pad_batch_multiple: int = 1,
         prefetch: int = 2,
         longform_max_n_frames: int = 0,
+        shape_grid_t: int = 0,
         sort_stop_epoch: int = 10000,
         n_stacks: int = 1,
         n_skips: int = 1,
@@ -121,6 +122,13 @@ class ASRDataLoader:
         self.pad_batch_multiple = pad_batch_multiple
         self.prefetch = prefetch
         self.longform_max_n_frames = longform_max_n_frames
+        # shape_grid_t > 0: frame-bin batches bound the PADDED area on a
+        # T grid (sampler._batch_size_padded_area); the feature padding
+        # multiple follows the same grid so the compiled-shape set is the
+        # grid ceilings, not per-batch maxima
+        self.shape_grid_t = shape_grid_t
+        if shape_grid_t > 0:
+            self.pad_xlen_multiple = shape_grid_t
         self.sort_stop_epoch = sort_stop_epoch
         self.epoch = 0
         self._batches = self._make_batches()
@@ -163,6 +171,7 @@ class ASRDataLoader:
             seed=self.seed + self.epoch,
             num_replicas=self.num_replicas,
             longform_max_n_frames=self.longform_max_n_frames,
+            shape_grid_t=self.shape_grid_t,
         )
 
     def __len__(self):

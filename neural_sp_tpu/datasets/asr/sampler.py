@@ -48,6 +48,41 @@ def _batch_size_bin(df, offset: int, batch_bin: int, key: str,
     return bs
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _batch_size_padded_area(df, offset: int, batch_bin: int, grid_t: int,
+                            num_replicas: int = 1, grid_b: int = 4) -> int:
+    """#utts s.t. the PADDED batch area bs * round_up(max xlen, grid_t)
+    stays <= batch_bin.
+
+    TPU-native refinement of the frame-bin mode: the budget constrains the
+    tensor XLA actually compiles and the MXU actually multiplies (batch x
+    padded-T), not the raw frame sum, so every bucket dispatches ~the same
+    work and pad frames are bounded by the grid quantisation (~grid_t/2
+    per utt) instead of the batch length spread. Requires df sorted by
+    xlen (ascending or descending): the running max is then the first or
+    last element scanned, making the greedy scan exact."""
+    n = len(df)
+    bs = 0
+    tmax = 0
+    while offset + bs < n:
+        tmax_new = max(tmax, int(df["xlen"].iloc[offset + bs]))
+        if (bs + 1) * _round_up(tmax_new, grid_t) > batch_bin and bs > 0:
+            break
+        bs += 1
+        tmax = tmax_new
+    # quantise bs DOWN to the grid (excess utts fall to the next batch —
+    # no pad rows) so the compiled-shape set stays small
+    if bs > grid_b:
+        bs -= bs % grid_b
+    bs = max(bs, 1)
+    if num_replicas > 1:
+        bs = max(bs - bs % num_replicas, num_replicas)
+    return bs
+
+
 def make_batches(
     df,
     batch_size: int = 1,
@@ -57,6 +92,7 @@ def make_batches(
     seed: int = 1,
     num_replicas: int = 1,
     longform_max_n_frames: int = 0,
+    shape_grid_t: int = 0,            # >0: frame budget bounds PADDED area
 ) -> list[list[int]]:
     """Partition df row positions into batches (lists of int positions)."""
     n = len(df)
@@ -94,6 +130,9 @@ def make_batches(
         if batch_size_type == "seq":
             bs = _batch_size_seq(df, offset, batch_size, dynamic_batching,
                                  num_replicas)
+        elif batch_size_type == "frame" and shape_grid_t > 0:
+            bs = _batch_size_padded_area(df, offset, batch_size,
+                                         shape_grid_t, num_replicas)
         elif batch_size_type == "frame":
             bs = _batch_size_bin(df, offset, batch_size, "xlen", num_replicas)
         elif batch_size_type == "token":
