@@ -101,7 +101,13 @@ def build_encoder(args):
             dropout=_get(args, "dropout_enc", 0.1),
             dropout_att=_get(args, "dropout_att", 0.0),
             dropout_layer=_get(args, "dropout_enc_layer", 0.0),
-            ffn_activation=_get(args, "transformer_ffn_activation", "relu"),
+            # conformer blocks ALWAYS use swish FFNs in the reference
+            # (encoders/build.py conformer branch hard-codes
+            # ffn_activation='swish'; the transformer_ffn_activation flag
+            # only applies to plain transformer encoders)
+            ffn_activation=("swish" if "conformer" in btype
+                            else _get(args, "transformer_ffn_activation",
+                                      "relu")),
             ffn_bottleneck_dim=_get(args, "transformer_ffn_bottleneck_dim", 0),
             last_proj_dim=_get(args, "enc_last_proj_dim", 0),
             task_specific_layer=_get(args, "task_specific_layer", False),
