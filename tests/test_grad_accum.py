@@ -11,9 +11,6 @@ linearity of accumulation is load-bearing for the flagship bench.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
-
-RNG = jax.random.PRNGKey(0)
 
 
 def _tiny_model():
@@ -47,7 +44,7 @@ def test_accum_matches_full_batch():
     model, args = _tiny_model()
     k, mb = 4, 2
     xs, xlens, ys, ylens = _batch(k * mb)
-    v = model.init(RNG, xs, xlens, ys, ylens)
+    v = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
     p0 = v["params"]
 
     def loss_fn(p, sl):

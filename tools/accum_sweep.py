@@ -49,9 +49,11 @@ def main():
         step = make_train_step(model, tx, mesh=None, donate=True,
                                compute_dtype=jnp.bfloat16)
         key = jax.random.PRNGKey(bs)
-        # warm BOTH branches of the MultiSteps cond (accumulate + apply)
+        # run one full accumulation cycle so the apply-step cost (optimizer
+        # update) is exercised before timing (jit compiles both lax.cond
+        # branches regardless; this is about warm execution, not compile)
         for i in range(k):
-            params, opt_state, m = step(
+            params, opt_state, _ = step(
                 params, opt_state, jax.random.fold_in(key, 1000 + i),
                 xs, xlens, ys, ylens)
         force(params)
@@ -60,7 +62,7 @@ def main():
         for w in range(3):
             t0 = time.perf_counter()
             for i in range(iters):
-                params, opt_state, m = step(
+                params, opt_state, _ = step(
                     params, opt_state, jax.random.fold_in(key, w * 100 + i),
                     xs, xlens, ys, ylens)
             force(params)
