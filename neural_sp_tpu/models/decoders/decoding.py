@@ -215,6 +215,77 @@ class Speech2TextSession:
                 for b in range(toks.shape[0])]
 
     # ------------------------------------------------------------------ #
+    def decode_cif_blockwise(self, xs, xlens, block_size: int = 16):
+        """Block-synchronous CIF decode, single utterance (reference
+        incremental mode, cif.py:95-146): alphas are computed per block
+        with the conv receptive field handled by left-context caching and
+        right-context deferral, tokens fire incrementally through
+        ``CifStreamer`` (tail fires iff accumulated weight >= 0.5,
+        cif.py:128-133), and each fired context advances the decoder one
+        greedy step. Matches the offline unscaled firing path on the
+        fully-fired tokens (tests/test_decode_extras.py)."""
+        from ..modules.cif import CIF, CifStreamer
+        dec = self.dec
+        assert isinstance(dec, RNNDecoder) and dec.attn_type == "cif"
+        eouts = self.encode(xs, xlens)
+        e, el = eouts["ys"]["xs"], eouts["ys"]["xlens"]
+        assert e.shape[0] == 1, "single-utterance streaming decode"
+        T = int(el[0])
+        if not hasattr(self, "_cif_alpha_p"):
+            self._cif_alpha_p = jax.jit(
+                lambda p, e, el: self.model.apply(
+                    {"params": p}, e, el,
+                    method=lambda m, e, el: m.dec_fwd.cif.alphas(e, el)))
+            self._cif_step_p = jax.jit(
+                lambda p, carry, y, ctx, e, m: self.model.apply(
+                    {"params": p}, carry, y, ctx, e, m,
+                    method=lambda mdl, c, y, ctx, e, msk:
+                    mdl.dec_fwd.decode_step_cif(c, y, ctx, e, msk)))
+
+        h = (CIF.conv_kernel_size - 1) // 2   # conv lookahead/lookback
+        e_np = np.asarray(e[0][:T], np.float32)
+        streamer = CifStreamer()
+        left_ctx = np.zeros((h, e_np.shape[-1]), np.float32)
+        leftover = np.zeros((0, e_np.shape[-1]), np.float32)
+        contexts: list[np.ndarray] = []
+        pos = 0
+        while pos < T:
+            block = e_np[pos: pos + block_size]
+            pos += len(block)
+            final = pos >= T
+            buf = np.concatenate([leftover, block], 0)
+            n_commit = len(buf) if final else max(len(buf) - h, 0)
+            if n_commit == 0:
+                leftover = buf
+                continue
+            seg = np.concatenate([left_ctx, buf], 0)
+            al = np.asarray(self._cif_alpha_p(
+                self.params, jnp.asarray(seg[None]),
+                jnp.asarray([len(seg)])))[0]
+            contexts.extend(streamer.push(
+                al[h: h + n_commit], buf[:n_commit], final=final))
+            left_ctx = buf[max(n_commit - h, 0): n_commit]
+            if len(left_ctx) < h:
+                left_ctx = np.concatenate(
+                    [np.zeros((h - len(left_ctx), e_np.shape[-1]),
+                              np.float32), left_ctx], 0)
+            leftover = buf[n_commit:]
+
+        # greedy decode: one step per fired context
+        carry = dec.init_carry(1, T, e.dtype)
+        mask = make_pad_mask(el, T)
+        y, hyp = EOS, []
+        for cv in contexts:
+            carry, logits = self._cif_step_p(
+                self.params, carry, jnp.asarray([y], jnp.int32),
+                jnp.asarray(cv[None].astype(np.float32)), e[:, :T], mask)
+            y = int(np.argmax(np.asarray(logits)[0]))
+            if y == EOS:
+                break
+            hyp.append(y)
+        return hyp
+
+    # ------------------------------------------------------------------ #
     def decode_attention_beam_device(self, xs, xlens):
         """Fully on-device batched beam search (SURVEY §7: fixed-beam-tensor
         search under jit): the whole eval batch decodes in ONE dispatch —
@@ -479,6 +550,8 @@ class Speech2TextSession:
         hists = [[] for _ in range(beam)]   # cumulative score per token
         scores = np.full(beam, -1e30, np.float32)
         scores[0] = 0.0
+        scores_att = np.zeros(beam, np.float32)  # cumulative att (raw)
+        scores_ilm = np.zeros(beam, np.float32)  # cumulative internal-LM
         scores_ctc = np.zeros(beam, np.float32)
         scores_lm = np.zeros(beam, np.float32)
         # LM state is ONE batched pytree over the beam (a single predict
@@ -501,15 +574,18 @@ class Speech2TextSession:
                         st["carry"], y, st["kc"], st["e"], st["mask"])
                     acc += np.asarray(jax.nn.log_softmax(
                         lg.astype(jnp.float32), -1))
-                logp_eff = acc / (1 + len(ens_state))
+                logp_raw = acc / (1 + len(ens_state))
             else:
-                logp_eff = logp
+                logp_raw = logp
             if use_ilm:
                 ilm_carry, ilm_logits, _ = self._step(
                     ilm_carry, y, kc_zero, e_zero, mask)
                 ilm_logp = np.asarray(jax.nn.log_softmax(
                     ilm_logits.astype(jnp.float32), -1))
-                logp_eff = logp_eff - conf.ilm_weight * ilm_logp
+                logp_eff = logp_raw - conf.ilm_weight * ilm_logp
+            else:
+                ilm_logp = np.zeros_like(logp_raw)
+                logp_eff = logp_raw
 
             lm_logp = np.zeros_like(logp)
             if self.lm is not None and conf.lm_weight > 0:
@@ -517,64 +593,91 @@ class Speech2TextSession:
                     [h[-1] if h else EOS for h in hyps], np.int32)
                 lm_logp, lm_state = self.lm.predict(y_in, lm_state)
 
-            total = scores[:, None] + logp_eff + conf.lm_weight * lm_logp
-            # eos handling: eos allowed only if logp(eos) good enough
-            # (eos_threshold, reference las.py:1306) and length >= min_len;
-            # the reference applies the threshold AFTER adding CTC scores
-            # (las.py:1296-1313), so the same mask is re-applied to total_ctc
+            # ---- children generation (reference las.py:1240-1360) ------
+            # Per live beam: the top-``beam`` candidates by the (att - ilm)
+            # score ALONE (las.py:1255-1258 topk on total_scores); LM and
+            # CTC scores join AFTER that selection — a token outside the
+            # top-k can never be hypothesized however strong its LM/CTC
+            # score. Totals are rebuilt each step from the carried
+            # att/lm/ctc components, exactly like the reference.
+            #
+            # QUIRK MIRRORED EXACTLY: the reference's add_ctc_score
+            # (beam_search.py:49-64) re-sorts the joint scores and the CTC
+            # states internally but never returns the re-sorted topk_ids,
+            # so its caller (las.py:1296-1360) pairs the att-rank-j TOKEN
+            # with the joint-rank-j PRUNING SCORE and joint-rank-j CTC
+            # STATE, while the carried ctc score stays att-rank-j. Since
+            # the pruning score is never decomposed back, the pairing does
+            # not compound — but it changes which children survive, so
+            # parity (tests/test_parity_pipeline.py) requires it verbatim.
             if step_i < min_len:
                 bad_eos = np.ones(beam, bool)
             else:
                 best_non_eos = np.max(
                     np.delete(logp, EOS, axis=1), axis=1)
                 bad_eos = logp[:, EOS] < conf.eos_threshold * best_non_eos
-            total[bad_eos, EOS] = -1e30
-
-            # joint CTC prefix scoring on top candidates
-            new_ctc_states = None
-            if ctc_scorer is not None:
-                ctc_cand = min(beam * 4, V)
-                total_ctc = np.full_like(total, -1e30)
-                new_ctc_states = [[None] * V for _ in range(beam)]
-                for k in range(beam):
-                    if scores[k] <= -1e29:
-                        continue
-                    cands = np.argsort(logp[k])[::-1][:ctc_cand]
-                    psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
-                    # incremental joint score (reference beam_search.py:49-64):
-                    # carried score + (1-w)*att + w*(psi - prev ctc score) + lm
-                    total_ctc[k, cands] = (
-                        scores[k]
-                        + (1 - conf.ctc_weight) * logp_eff[k, cands]
-                        + conf.ctc_weight * psi
-                        - (conf.ctc_weight * scores_ctc[k])
-                        + conf.lm_weight * lm_logp[k, cands])
-                    for ci, c in enumerate(cands):
-                        new_ctc_states[k][c] = (r_new[ci], psi[ci])
-                total_ctc[bad_eos, EOS] = -1e30
-                total = total_ctc
-
-            flat = total.reshape(-1)
-            k = min(beam * 2, flat.size - 1)
-            top = np.argpartition(-flat, k)[: beam * 2]
-            top = top[np.argsort(-flat[top])]
 
             aw_host = np.asarray(aw)
             if aw_host.ndim == 3:   # MoChA/MMA heads -> mean
                 aw_host = aw_host.mean(1)
             peak_t = np.argmax(aw_host, -1)       # [beam]
-            new_hyps, new_scores, new_y, parents = [], [], [], []
-            new_peaks, new_hists = [], []
-            new_sctc, new_slm = [], []
-            new_ctc_beam = []
-            for idx in top:
-                k, v = divmod(int(idx), V)
-                sc = float(flat[idx])
-                if sc <= -1e29:
+
+            w_ctc = conf.ctc_weight
+            children = []
+            for k in range(beam):
+                if scores[k] <= -1e29:
                     continue
+                cands = np.argsort(-logp_eff[k], kind="stable")[:beam]
+                # total = att*(1-w) - ilm*w_ilm*(1-w) + lm*w_lm
+                # (las.py:1250-1264; att and ilm carried separately like
+                # the reference's score_att / score_ilm)
+                base = ((1.0 - w_ctc)
+                        * (scores_att[k] + logp_raw[k, cands])
+                        - (1.0 - w_ctc) * conf.ilm_weight
+                        * (scores_ilm[k] + ilm_logp[k, cands])
+                        + conf.lm_weight
+                        * (scores_lm[k] + lm_logp[k, cands]))
+                if conf.length_penalty != 0:
+                    base = base + conf.length_penalty * (step_i + 1)
+                if ctc_scorer is not None:
+                    psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
+                    joint = base + w_ctc * psi
+                    perm = np.argsort(-joint, kind="stable")
+                    prune_sc = joint[perm]
+                else:
+                    psi = r_new = None
+                    prune_sc = base
+                for j in range(len(cands)):
+                    c = int(cands[j])
+                    if c == EOS and bad_eos[k]:
+                        continue
+                    sc = float(prune_sc[j])
+                    if conf.length_norm:
+                        sc = sc / (step_i + 1)
+                    children.append({
+                        "parent": k, "tok": c, "score": sc,
+                        "att": float(scores_att[k] + logp_raw[k, c]),
+                        "ilm": float(scores_ilm[k] + ilm_logp[k, c]),
+                        "lm": float(scores_lm[k] + lm_logp[k, c]),
+                        "psi": float(psi[j]) if psi is not None
+                        else float(scores_ctc[k]),
+                        "state": r_new[perm[j]] if psi is not None
+                        else ctc_states[k]})
+
+            # local pruning to the top ``beam`` children TOTAL
+            # (las.py:1363-1364); eos-enders then move to ``finished``
+            # (remove_complete_hyp) so the live beam SHRINKS
+            children.sort(key=lambda d: -d["score"])
+            children = children[:beam]
+            new_hyps, new_scores, new_satt, new_silm = [], [], [], []
+            new_y, parents, new_peaks, new_hists = [], [], [], []
+            new_slm, new_ctc_beam = [], []
+            for ch in children:
+                k, v, sc = ch["parent"], ch["tok"], ch["score"]
                 if v == EOS:
                     cand = {"hyp": hyps[k] + [EOS], "score": sc,
-                            "score_lm": float(scores_lm[k]),
+                            "score_att": float(ch["att"]),
+                            "score_lm": float(ch["lm"]),
                             "peaks": peaks[k] + [int(peak_t[k])],
                             "hist": hists[k] + [sc]}
                     if conf.state_carry_over:
@@ -582,11 +685,6 @@ class Speech2TextSession:
                         # carries the BEST hyp's dstates, las.py:1155-1165)
                         cand["cells"] = jax.tree.map(
                             lambda x: x[k:k + 1], carry[0])
-                    L = len(cand["hyp"])
-                    if conf.length_norm:
-                        cand["score"] = sc / max(L, 1)
-                    else:
-                        cand["score"] = sc + conf.length_penalty * L
                     if conf.coverage_penalty > 0:
                         cov = np.sum(np.minimum(
                             aw_sums[k], conf.coverage_threshold or 0.5))
@@ -597,24 +695,27 @@ class Speech2TextSession:
                 new_peaks.append(peaks[k] + [int(peak_t[k])])
                 new_hists.append(hists[k] + [sc])
                 new_scores.append(sc)
+                new_satt.append(ch["att"])
+                new_silm.append(ch["ilm"])
                 new_y.append(v)
                 parents.append(k)
-                new_slm.append(scores_lm[k] + (float(lm_logp[k, v])
-                                               if self.lm else 0.0))
-                if ctc_scorer is not None and new_ctc_states[k][v] is not None:
-                    r_new, psi = new_ctc_states[k][v]
-                    new_ctc_beam.append((r_new, float(psi)))
-                else:
-                    new_ctc_beam.append((ctc_states[k], scores_ctc[k]))
-                if len(new_hyps) == beam:
-                    break
-            if not new_hyps or len(finished) >= beam * 2:
+                new_slm.append(ch["lm"])
+                new_ctc_beam.append((ch["state"], ch["psi"]))
+            # stop once ``beam`` hypotheses completed (reference
+            # remove_complete_hyp beam_search.py:33-47: end_hyps pruned to
+            # beam_width in arrival order, then is_finish)
+            if len(finished) >= beam:
+                finished = finished[:beam]
+                break
+            if not new_hyps:
                 break
             while len(new_hyps) < beam:  # pad beam with dead entries
                 new_hyps.append(new_hyps[-1])
                 new_peaks.append(new_peaks[-1])
                 new_hists.append(new_hists[-1])
                 new_scores.append(-1e30)
+                new_satt.append(new_satt[-1])
+                new_silm.append(new_silm[-1])
                 new_y.append(new_y[-1])
                 parents.append(parents[-1])
                 new_slm.append(new_slm[-1])
@@ -636,6 +737,8 @@ class Speech2TextSession:
             peaks = new_peaks
             hists = new_hists
             scores = np.asarray(new_scores, np.float32)
+            scores_att = np.asarray(new_satt, np.float32)
+            scores_ilm = np.asarray(new_silm, np.float32)
             scores_lm = np.asarray(new_slm, np.float32)
             if ctc_scorer is not None:
                 ctc_states = [c[0] for c in new_ctc_beam]
@@ -643,9 +746,14 @@ class Speech2TextSession:
                                         np.float32)
             y = jnp.asarray(new_y, jnp.int32)
 
-        if not finished:
-            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0]),
-                         "peaks": peaks[0], "hist": hists[0]}]
+        # global pruning (reference las.py:1371-1375): top up with live
+        # hypotheses when fewer than ``beam`` completed
+        if len(finished) < beam:
+            live = [{"hyp": hyps[i] + [EOS], "score": float(scores[i]),
+                     "score_att": float(scores_att[i]),
+                     "peaks": peaks[i], "hist": hists[i]}
+                    for i in range(len(hyps)) if scores[i] > -1e29]
+            finished.extend(live[: beam - len(finished)])
         finished.sort(key=lambda d: -d["score"])
         if conf.state_carry_over and spk is not None:
             if not hasattr(self, "_spk_states"):
@@ -666,6 +774,11 @@ class Speech2TextSession:
             for f, nb in zip(finished[: self.conf.n_best], nbest)]
         self._last_nbest_scores = [
             float(f["score"]) for f in finished[: self.conf.n_best]]
+        # att-only decomposition, what the reference's beam_search RETURNS
+        # as ``scores`` (las.py:1446-1448: end_hyps[n]['score_att'])
+        self._last_nbest_scores_att = [
+            float(f.get("score_att", f["score"]))
+            for f in finished[: self.conf.n_best]]
         self._last_nbest_hists = [
             f.get("hist", [])[: len(nb)]
             for f, nb in zip(finished[: self.conf.n_best], nbest)]
@@ -689,6 +802,7 @@ class Speech2TextSession:
         hyps = [[] for _ in range(beam)]
         scores = np.full(beam, -1e30, np.float32)
         scores[0] = 0.0
+        scores_att = np.zeros(beam, np.float32)
         scores_ctc = np.zeros(beam, np.float32)
         scores_lm = np.zeros(beam, np.float32)
         lm_state = self.lm.initial_state(beam) if self.lm else None
@@ -707,69 +821,75 @@ class Speech2TextSession:
                     [h[-1] if h else EOS for h in hyps], np.int32)
                 lm_logp, lm_state = self.lm.predict(y_in, lm_state)
 
-            total = scores[:, None] + logp + conf.lm_weight * lm_logp
+            # children generation, same reference-exact structure (and
+            # add_ctc_score pairing quirk) as _beam_one_las above
             if step_i < min_len:
                 bad = np.ones(beam, bool)
             else:
                 best_non_eos = np.max(np.delete(logp, EOS, axis=1), axis=1)
                 bad = logp[:, EOS] < conf.eos_threshold * best_non_eos
-            total[bad, EOS] = -1e30
 
-            new_ctc_states = None
-            if ctc_scorer is not None:
-                ctc_cand = min(beam * 4, V)
-                tot2 = np.full_like(total, -1e30)
-                new_ctc_states = [[None] * V for _ in range(beam)]
-                for k in range(beam):
-                    if scores[k] <= -1e29:
-                        continue
-                    cands = np.argsort(logp[k])[::-1][:ctc_cand]
-                    psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
-                    tot2[k, cands] = (scores[k]
-                                      + (1 - conf.ctc_weight) * logp[k, cands]
-                                      + conf.ctc_weight * psi
-                                      - conf.ctc_weight * scores_ctc[k]
-                                      + conf.lm_weight * lm_logp[k, cands])
-                    for ci, c in enumerate(cands):
-                        new_ctc_states[k][c] = (r_new[ci], psi[ci])
-                tot2[bad, EOS] = -1e30
-                total = tot2
-
-            flat = total.reshape(-1)
-            k = min(beam * 2, flat.size - 1)
-            top = np.argpartition(-flat, k)[: beam * 2]
-            top = top[np.argsort(-flat[top])]
-            new_hyps, new_scores, new_y, parents = [], [], [], []
-            new_slm, new_ctc_beam = [], []
-            for idx in top:
-                k, v = divmod(int(idx), V)
-                sc = float(flat[idx])
-                if sc <= -1e29:
+            w_ctc = conf.ctc_weight
+            children = []
+            for k in range(beam):
+                if scores[k] <= -1e29:
                     continue
+                cands = np.argsort(-logp[k], kind="stable")[:beam]
+                base = ((1.0 - w_ctc) * (scores_att[k] + logp[k, cands])
+                        + conf.lm_weight
+                        * (scores_lm[k] + lm_logp[k, cands]))
+                if conf.length_penalty != 0:
+                    base = base + conf.length_penalty * (step_i + 1)
+                if ctc_scorer is not None:
+                    psi, r_new = ctc_scorer(hyps[k], cands, ctc_states[k])
+                    joint = base + w_ctc * psi
+                    perm = np.argsort(-joint, kind="stable")
+                    prune_sc = joint[perm]
+                else:
+                    psi = r_new = None
+                    prune_sc = base
+                for j in range(len(cands)):
+                    c = int(cands[j])
+                    if c == EOS and bad[k]:
+                        continue
+                    sc = float(prune_sc[j])
+                    if conf.length_norm:
+                        sc = sc / (step_i + 1)
+                    children.append({
+                        "parent": k, "tok": c, "score": sc,
+                        "att": float(scores_att[k] + logp[k, c]),
+                        "lm": float(scores_lm[k] + lm_logp[k, c]),
+                        "psi": float(psi[j]) if psi is not None
+                        else float(scores_ctc[k]),
+                        "state": r_new[perm[j]] if psi is not None
+                        else ctc_states[k]})
+
+            children.sort(key=lambda d: -d["score"])
+            children = children[:beam]
+            new_hyps, new_scores, new_satt, new_y = [], [], [], []
+            parents, new_slm, new_ctc_beam = [], [], []
+            for ch in children:
+                k, v, sc = ch["parent"], ch["tok"], ch["score"]
                 if v == EOS:
-                    L = len(hyps[k]) + 1
-                    final = sc / max(L, 1) if conf.length_norm else \
-                        sc + conf.length_penalty * L
-                    finished.append({"hyp": hyps[k] + [EOS], "score": final})
+                    finished.append({"hyp": hyps[k] + [EOS], "score": sc,
+                                     "score_att": float(ch["att"])})
                     continue
                 new_hyps.append(hyps[k] + [v])
                 new_scores.append(sc)
+                new_satt.append(ch["att"])
                 new_y.append(v)
                 parents.append(k)
-                new_slm.append(scores_lm[k] + (float(lm_logp[k, v])
-                                               if self.lm else 0.0))
-                if ctc_scorer is not None and new_ctc_states[k][v] is not None:
-                    r_new, psi = new_ctc_states[k][v]
-                    new_ctc_beam.append((r_new, float(psi)))
-                else:
-                    new_ctc_beam.append((ctc_states[k], scores_ctc[k]))
-                if len(new_hyps) == beam:
-                    break
-            if not new_hyps or len(finished) >= beam * 2:
+                new_slm.append(ch["lm"])
+                new_ctc_beam.append((ch["state"], ch["psi"]))
+            if len(finished) >= beam:
+                finished = finished[:beam]
+                break
+            if not new_hyps:
                 break
             while len(new_hyps) < beam:
                 new_hyps.append(new_hyps[-1])
                 new_scores.append(-1e30)
+                new_satt.append(new_satt[-1])
                 new_y.append(new_y[-1])
                 parents.append(parents[-1])
                 new_slm.append(new_slm[-1])
@@ -780,6 +900,7 @@ class Speech2TextSession:
                 lm_state = jax.tree.map(lambda x: x[par], lm_state)
             hyps = new_hyps
             scores = np.asarray(new_scores, np.float32)
+            scores_att = np.asarray(new_satt, np.float32)
             scores_lm = np.asarray(new_slm, np.float32)
             if ctc_scorer is not None:
                 ctc_states = [c[0] for c in new_ctc_beam]
@@ -787,8 +908,10 @@ class Speech2TextSession:
                                         np.float32)
             y = jnp.asarray(new_y, jnp.int32)
 
-        if not finished:
-            finished = [{"hyp": hyps[0] + [EOS], "score": float(scores[0])}]
+        if len(finished) < beam:  # top up with live hyps (reference global
+            live = [{"hyp": hyps[i] + [EOS], "score": float(scores[i])}
+                    for i in range(len(hyps)) if scores[i] > -1e29]
+            finished.extend(live[: beam - len(finished)])
         finished.sort(key=lambda d: -d["score"])
         nbest = [[t for t in f["hyp"] if t != EOS]
                  for f in finished[: self.conf.n_best]]
@@ -816,8 +939,10 @@ class Speech2TextSession:
         conf = self.conf
         if isinstance(self.dec, RNNDecoder) and \
                 self.dec.attn_type == "cif":
-            # no incremental CIF beam (contexts are integrate-and-fire,
-            # not query-driven); greedy consumes the unscaled firings
+            # CIF decode is greedy over the fired contexts (the contexts
+            # are integrate-and-fire, not query-driven). Offline: the
+            # unscaled firings in one scan. Streaming: decode_cif_blockwise
+            # (reference incremental mode, cif.py:95-146).
             return self.decode_attention_greedy(xs, xlens)
         fusion_free = (conf.lm_weight == 0 and conf.ctc_weight == 0
                        and conf.ilm_weight == 0 and not self.ensemble

@@ -313,32 +313,6 @@ class LASStep(nn.Module):
         emb, k_emb = promote_dtype(emb, k_emb, dtype=None)
         return jnp.dot(emb, k_emb)
 
-    def pallas_eligible(self, deterministic: bool) -> bool:
-        """True when the step matches the fused Pallas scan kernel's
-        specialization (ops/las_scan_pallas.py): single-layer LSTM +
-        location attention, hoisted readout/embedding regime."""
-        import os
-        return (os.environ.get("NSP_DEC_PALLAS") in ("1", "interpret")
-                and self.hoists_readout(deterministic)
-                and self.attn_type == "location"
-                and self.n_layers == 1 and self.n_projs == 0
-                and self.zoneout == 0 and not self.lm_fusion
-                and self.dropout_att == 0
-                and self.attn_sharpening_factor == 1.0
-                and not self.attn_sigmoid_smoothing)
-
-    def pallas_params(self):
-        """Raw weight tensors for the fused scan kernel, in its layout:
-        (k_ctx [D,4H], k_h [H,4H], bias [1,4H], wq [H,A], wf [C,A],
-        vv [1,A], conv_kernel [K,C])."""
-        _, k_ctx, k_h, b_h = self._cell0_kernels()
-        ap = self.attn.variables["params"]
-        wq = ap["w_query"]["kernel"]
-        wf = ap["w_conv"]["kernel"]
-        vv = ap["v"]["kernel"].T
-        conv_kernel = ap["conv"]["kernel"][:, 0]
-        return k_ctx, k_h, b_h[None], wq, wf, vv, conv_kernel
-
     def _cell0_hoisted(self, carry, emb_gates_t, ctx_prev):
         """Layer-0 LSTM step consuming hoisted embedding gate
         pre-activations (``hoist_emb_gates``): only the ctx half of the
@@ -584,33 +558,18 @@ class RNNDecoder(nn.Module):
             emb_gates = self.step_scan.hoist_emb_gates(ys_in, deterministic)
         else:
             emb_gates = jnp.zeros((bs, ys_in.shape[1], 0), eouts.dtype)
-        if (self.step_scan.pallas_eligible(deterministic)
-                and trigger_points is None and not self.is_initializing()):
-            # fused Pallas scan: weights stay VMEM-resident across all
-            # steps, one kernel launch for the whole teacher-forced loop
-            # (ops/las_scan_pallas.py; falls back to the XLA scan for any
-            # non-flagship configuration)
-            from ...ops.las_scan_pallas import las_scan_apply
-            from ...ops.dropout import fast_bernoulli
-            u1 = ys_in.shape[1]
-            rate = self.step_scan.dropout
-            if deterministic or rate == 0:
-                dm = jnp.ones((bs, u1, self.n_units), eouts.dtype)
-            else:
-                keep = 1.0 - rate
-                bern = fast_bernoulli(self.make_rng("dropout"), keep,
-                                      (bs, u1, self.n_units))
-                dm = jnp.where(bern, 1.0 / keep, 0.0).astype(eouts.dtype)
-            k_ctx, k_h, b4, wq, wf, vv, ck = self.step_scan.pallas_params()
-            douts, ctxs, aws = las_scan_apply(
-                emb_gates, key_cache, eouts, ck, wq, wf, vv, k_ctx, k_h,
-                b4, mask, dm)
-            outs = jnp.concatenate([douts, ctxs], axis=-1)
-            aws = aws.astype(eouts.dtype)
-        else:
-            carry, (outs, aws) = self.step_scan(
-                carry, ys_in, trig, ctx_steps, emb_gates, key_cache, eouts,
-                mask, deterministic)
+        # NOTE (round 4): a fused Pallas decoder-scan kernel (LSTM +
+        # location attention in one launch, weights VMEM-resident across
+        # all steps) was built, gradient-verified in interpret mode, and
+        # measured on a real v5e — and DELETED: at the flagship shape
+        # (1024-unit LSTM) the weight set alone is 12 MB bf16 and the
+        # backward's scoped-VMEM demand was 21.55 MB against the chip's
+        # 16 MB VMEM, so the weights-stay-resident premise cannot hold on
+        # this hardware generation (git history `las_scan_pallas.py` for
+        # the kernel; ROADMAP.md round-4 notes for the measurement).
+        carry, (outs, aws) = self.step_scan(
+            carry, ys_in, trig, ctx_steps, emb_gates, key_cache, eouts,
+            mask, deterministic)
         # hoisted readout: ONE batched matmul pair over all steps
         logits = self.step_scan.readout(outs, deterministic) if hoisted \
             else outs
@@ -729,6 +688,20 @@ class RNNDecoder(nn.Module):
         logits = self.step_scan.readout(outs, True) \
             if self.step_scan.hoists_readout(True) else outs
         return carry, logits[:, 0], aws[:, 0]
+
+    def decode_step_cif(self, carry, y_t, ctx_t, eouts, mask):
+        """Single decode step driven by an externally-fired CIF context
+        (block-synchronous streaming: the reference incremental mode,
+        cif.py:95-146, fires integrate-and-fire contexts one at a time;
+        each fired context advances the decoder by one step)."""
+        trig = jnp.full((y_t.shape[0], 1), eouts.shape[1] - 1, jnp.int32)
+        eg0 = jnp.zeros((y_t.shape[0], 1, 0), eouts.dtype)
+        carry, (outs, _) = self.step_scan(
+            carry, y_t[:, None], trig, ctx_t[:, None], eg0, eouts, eouts,
+            mask, True)
+        logits = self.step_scan.readout(outs, True) \
+            if self.step_scan.hoists_readout(True) else outs
+        return carry, logits[:, 0]
 
     def precompute_keys(self, eouts):
         return self._key_cache(eouts)

@@ -247,7 +247,14 @@ class XformerEncoder(nn.Module):
                 ffn_bottleneck_dim=self.ffn_bottleneck_dim,
                 conv_kernel_size=self.conv_kernel_size,
                 conv_normalization=self.conv_normalization,
-                causal=self.unidirectional))
+                # the conformer conv is CAUSAL for `mask`-type chunked
+                # encoders too (reference transformer.py:128 — self.causal
+                # = unidir or streaming_type == 'mask'; conformer_block.py
+                # passes it to ConformerConvBlock), so chunk boundaries
+                # never leak future frames through the depthwise conv
+                causal=self.unidirectional or (
+                    self.chunk_size_current > 0
+                    and self.streaming_type == "mask")))
         self.blocks = blocks
         factors = list(self.subsample) or [1] * self.n_layers
         self.subsamplers = [
@@ -275,23 +282,47 @@ class XformerEncoder(nn.Module):
     def __call__(self, xs, xlens, task: str = "all",
                  deterministic: bool = True, return_weights: bool = False):
         xs = self.drop_in(xs, deterministic=deterministic)
-        if self.conv_channels:
-            xs, xlens = self.conv(xs, xlens, deterministic)
-        else:
-            xs = self.embed(xs)
         factor = self.conv_factor
-
-        bs, t_in = xs.shape[0], xs.shape[1]
+        bs, t_raw = xs.shape[0], xs.shape[1]
         streaming = self.chunk_size_current > 0
+        lc_bidir = streaming and not self.unidirectional
+        reshape_mode = streaming and self.streaming_type == "reshape"
         n_l = self.chunk_size_left // factor if self.chunk_size_left > 0 else \
             (-1 if self.chunk_size_left < 0 else 0)
         n_c = max(self.chunk_size_current // factor, 1) if streaming else 0
         n_r = self.chunk_size_right // factor
+        nl_eff = max(n_l, 0)
 
-        reshape_mode = streaming and self.streaming_type == "reshape"
-        if reshape_mode:
-            # [B, T, D] -> [B*n_chunks, N_l+N_c+N_r, D]; no mask inside chunks
-            nl_eff = max(n_l, 0)
+        pre_chunked = False
+        if self.conv_channels:
+            if lc_bidir:
+                # chunk BEFORE the CNN so conv outputs are chunk-independent
+                # (reference transformer.py:452-460 — "CNN consumes inputs
+                # in the current chunk"; converted-weight streaming parity
+                # depends on this, tests/test_parity_pipeline.py)
+                nl_in = max(self.chunk_size_left, 0) if reshape_mode else 0
+                nr_in = max(self.chunk_size_right, 0) if reshape_mode else 0
+                xs = chunkwise(xs, nl_in, self.chunk_size_current, nr_in)
+                clens = jnp.full((xs.shape[0],), xs.shape[1], jnp.int32)
+                xs, _ = self.conv(xs, clens, deterministic)
+                xlens = (xlens + factor - 1) // factor
+                if not reshape_mode:   # mask mode: back to [B, T', d]
+                    xs = xs.reshape(bs, -1, xs.shape[-1])
+                    # drop the chunk-padding tail like the reference's
+                    # [:, :xlens.max()] (transformer.py:481) — the pad
+                    # frames' conv-bias values would otherwise leak into
+                    # the last valid frames via the conformer conv
+                    xs = xs[:, : -(-t_raw // factor)]
+                pre_chunked = True
+            else:
+                xs, xlens = self.conv(xs, xlens, deterministic)
+        else:
+            xs = self.embed(xs)
+
+        t_in = (xs.shape[0] // bs) * n_c if reshape_mode and pre_chunked \
+            else xs.shape[1]
+        if reshape_mode and not pre_chunked:
+            # [B, T, D] -> [B*n_chunks, N_l+N_c+N_r, D]; no mask in chunks
             xs = chunkwise(xs, nl_eff, n_c, n_r)
 
         xs = self.pos_enc(xs, 0, deterministic)
@@ -411,7 +442,9 @@ class XformerEncoder(nn.Module):
             ffn_bottleneck_dim=self.ffn_bottleneck_dim,
             conv_kernel_size=self.conv_kernel_size,
             conv_normalization=self.conv_normalization,
-            causal=self.unidirectional,
+            causal=self.unidirectional or (
+                self.chunk_size_current > 0
+                and self.streaming_type == "mask"),
             parent=None)   # unbound template, applied per scan slice
         need_rng = not deterministic
         keys = (jax.random.split(self.make_rng("dropout"), len(group))
@@ -447,20 +480,13 @@ class XformerEncoder(nn.Module):
         assert n_c_in > 0, "streaming requires chunk_size_current > 0"
         assert n_c_in % f == 0 and n_l_in % f == 0 and n_r_in % f == 0, \
             "streaming chunk sizes must be multiples of the conv factor"
+        # cnn_ctx_in is 0 BY DESIGN: the CNN consumes the current block
+        # only, so conv outputs are chunk-independent and streaming equals
+        # the chunk-before-conv offline forward (reference
+        # transformer.py:452-460). Cross-block CNN context would shift
+        # every conv output near the boundary vs the offline mask-mode
+        # training graph.
         cnn_ctx_in = 0
-        if self.conv_channels:
-            # conv left context in input frames (no module construction —
-            # this runs inside bound methods)
-            from .conv import parse_cnn_config
-            cfg = parse_cnn_config(self.conv_channels, self.conv_kernel_sizes,
-                                   self.conv_strides, self.conv_poolings)
-            left = 0
-            fac = 1
-            for (kt, _), (st, _), (pt, _) in zip(
-                    cfg.kernel_sizes, cfg.strides, cfg.poolings):
-                left += 2 * ((kt - 1) // 2) * fac
-                fac *= st * max(pt, 1)
-            cnn_ctx_in = -(-left // f) * f
         return f, cnn_ctx_in, n_l_in // f, n_c_in // f, n_r_in // f
 
     def block_input_frames(self) -> tuple[int, int]:

@@ -23,14 +23,19 @@ class ConformerConvBlock(nn.Module):
     @nn.compact
     def __call__(self, xs: jnp.ndarray, pad_mask=None, conv_cache=None,
                  deterministic: bool = True, cur_len: int | None = None):
-        """xs: [B, T, D]; pad_mask: [B, T] True=valid. Returns (out, cache).
+        """xs: [B, T, D]. Returns (out, cache).
+
+        ``pad_mask`` is accepted for API stability but intentionally
+        UNUSED: the reference conv module (conformer_convolution.py:80-129,
+        called unmasked from conformer_block.py:168) lets pad frames mix
+        into valid frames near the boundary, and zeroing them here breaks
+        converted-weight parity (tests/test_parity_pipeline.py).
 
         ``cur_len``: in streaming, only the first cur_len frames of ``xs``
         are the committed current region — the returned cache is the tail of
         [conv_cache; xs[:cur_len]] so lookahead frames never pollute it.
         """
-        if pad_mask is not None:
-            xs = xs * pad_mask[..., None].astype(xs.dtype)
+        del pad_mask
         h = nn.Dense(2 * self.d_model, name="pointwise1",
                      param_dtype=self.param_dtype)(xs)
         a, b = jnp.split(h, 2, axis=-1)
@@ -72,6 +77,4 @@ class ConformerConvBlock(nn.Module):
         h = jax.nn.swish(h)
         h = nn.Dense(self.d_model, name="pointwise2",
                      param_dtype=self.param_dtype)(h)
-        if pad_mask is not None:
-            h = h * pad_mask[..., None].astype(h.dtype)
         return h, new_cache

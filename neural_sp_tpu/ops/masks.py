@@ -23,10 +23,17 @@ def make_pad_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
 def make_san_mask(pad_mask: jnp.ndarray) -> jnp.ndarray:
     """Self-attention mask from a pad mask.
 
-    [B, T] -> [B, T, T]; position (b, q, k) is True iff both q and k valid.
+    [B, T] -> [B, T, T]; position (b, q, k) is True iff key k is valid —
+    KEYS ONLY, exactly like the reference (transformer.py:633-648 repeats
+    the key-pad row over every query, so pad queries still attend valid
+    keys). This matters numerically: the conformer depthwise conv mixes
+    pad-position attention outputs back into valid frames near the
+    boundary, so query-masking here would diverge from the reference
+    (caught by tests/test_parity_pipeline.py). It is also safer: no
+    all-masked softmax rows.
     """
-    m = pad_mask[:, None, :] & pad_mask[:, :, None]
-    return m
+    t = pad_mask.shape[1]
+    return jnp.broadcast_to(pad_mask[:, None, :], (pad_mask.shape[0], t, t))
 
 
 def causal_mask(qlen: int, klen: int | None = None, offset: int = 0) -> jnp.ndarray:

@@ -185,3 +185,63 @@ def test_rsp_training_step():
     p, o, new_carry2, m2 = step(p, o, jax.random.PRNGKey(1), new_carry,
                                 xs, xlens, ys, ylens)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_cif_incremental_matches_parallel():
+    """Block-sync incremental integrate-and-fire (CifStreamer, reference
+    cif.py:95-146) reproduces the offline parallel mode's fully-fired
+    token contexts exactly, for any block partition."""
+    from neural_sp_tpu.models.modules.cif import CIF, CifStreamer
+    rng = np.random.default_rng(1)
+    T, D = 37, 8
+    eouts = jnp.asarray(rng.standard_normal((1, T, D)), jnp.float32)
+    elens = jnp.asarray([T])
+    cif = CIF(enc_dim=D)
+    v = cif.init(RNG, eouts, elens)
+    cv, alpha, _, _ = cif.apply(v, eouts, elens)         # unscaled
+    alpha = np.asarray(alpha)[0]
+    n_full = int(np.floor(alpha.sum()))                  # fully fired
+
+    for bs in (1, 5, T):
+        st = CifStreamer()
+        fired = []
+        for s in range(0, T, bs):
+            fired.extend(st.push(alpha[s:s + bs],
+                                 np.asarray(eouts)[0, s:s + bs],
+                                 final=s + bs >= T))
+        assert len(fired) >= n_full
+        np.testing.assert_allclose(
+            np.stack(fired[:n_full]), np.asarray(cv)[0, :n_full],
+            rtol=1e-4, atol=1e-5, err_msg=f"block={bs}")
+
+
+def test_cif_blockwise_decode_matches_offline():
+    """Session block-sync CIF decode (conv context cached across blocks,
+    incremental firing, per-context greedy steps) agrees with the offline
+    greedy on the fully-fired prefix."""
+    from types import SimpleNamespace
+    from neural_sp_tpu.models.speech2text import build_speech2text
+    from neural_sp_tpu.models.decoders.decoding import (
+        Speech2TextSession, DecodeConfig)
+    args = SimpleNamespace(
+        enc_type="blstm", enc_n_units=24, enc_n_layers=1, input_dim=16,
+        dec_type="lstm", dec_n_units=24, dec_n_layers=1, emb_dim=12,
+        dec_bottleneck_dim=24, attn_type="cif", attn_dim=24, vocab=13,
+        ctc_weight=0.0, lsm_prob=0.0)
+    model = build_speech2text(args)
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.standard_normal((1, 48, 16)), jnp.float32)
+    xlens = jnp.asarray([48])
+    ys = jnp.asarray(rng.integers(4, 13, (1, 5)), jnp.int32)
+    v = model.init(RNG, xs, xlens, ys, jnp.asarray([5]))
+    sess = Speech2TextSession(model, v["params"], DecodeConfig(beam_width=1))
+    offline = sess.decode_attention_greedy(np.asarray(xs),
+                                           np.asarray(xlens))[0]
+    block = sess.decode_cif_blockwise(np.asarray(xs), np.asarray(xlens),
+                                      block_size=7)
+    n = min(len(offline), len(block))
+    assert block[:n] == offline[:n], (block, offline)
+    # and blockwise firing is insensitive to the block size
+    block2 = sess.decode_cif_blockwise(np.asarray(xs), np.asarray(xlens),
+                                       block_size=48)
+    assert block == block2, (block, block2)

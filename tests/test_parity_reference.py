@@ -428,7 +428,7 @@ def lstm_cell_params(ref_cell):
 
 def build_ref_las(vocab, enc_n_units, n_units, n_layers, emb_dim,
                   bottleneck, attn_dim, attn_type="location",
-                  lsm_prob=0.0, **kw):
+                  lsm_prob=0.0, ctc_weight=0.0, **kw):
     from neural_sp.models.seq2seq.decoders.las import RNNDecoder as RefLAS
     from neural_sp_tpu import BLANK, UNK, EOS, PAD
     special = {"blank": BLANK, "unk": UNK, "eos": EOS, "pad": PAD}
@@ -440,7 +440,8 @@ def build_ref_las(vocab, enc_n_units, n_units, n_layers, emb_dim,
         attn_sigmoid_smoothing=False, attn_conv_out_channels=4,
         attn_conv_kernel_size=5, attn_n_heads=1, dropout=0.0,
         dropout_emb=0.0, dropout_att=0.0, lsm_prob=lsm_prob, ss_prob=0.0,
-        ctc_weight=0.0, ctc_lsm_prob=0.0, ctc_fc_list="", mbr_training=False,
+        ctc_weight=ctc_weight, ctc_lsm_prob=0.0, ctc_fc_list="",
+        mbr_training=False,
         mbr_ce_weight=0.0, external_lm=None, lm_fusion="", lm_init=False,
         backward=False, global_weight=1.0, mtl_per_batch=False,
         mocha_chunk_size=1, mocha_n_heads_mono=1,
@@ -833,3 +834,42 @@ def test_mocha_conv1d_parity():
                    method=lambda m, k, q: m(m.precompute(k), q))
     np.testing.assert_allclose(np.asarray(e)[:, 0], t2np(e_ref)[:, 0, 0],
                                rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------- CIF ------
+def test_cif_parallel_parity():
+    """Converted-weight CIF parallel (training) mode: alphas and the
+    boundary-split integrated contexts match the reference frame loop
+    (cif.py:76-146)."""
+    from neural_sp.models.modules.cif import CIF as RefCIF
+    from neural_sp_tpu.models.modules.cif import CIF
+
+    d, bs, t = 8, 2, 24
+    torch.manual_seed(0)
+    ref = RefCIF(enc_dim=d, window=3).eval()
+    eouts = torch.randn(bs, t, d)
+    elens = torch.IntTensor([t, t - 6])
+    ylens = torch.IntTensor([5, 3])
+    with torch.no_grad():
+        cv_ref, aws_ref, state = ref(eouts, elens, ylens, mode="parallel")
+
+    ours = CIF(enc_dim=d, conv_kernel_size=3)
+    ej = jnp.asarray(t2np(eouts))
+    elj = jnp.asarray([t, t - 6])
+    ylj = jnp.asarray([5, 3])
+    v0 = ours.init(RNG, ej, elj, ylj)
+    p = merge(zeros_like_tree(v0["params"]), {
+        "conv": {"kernel": t2np(ref.conv1d.weight).transpose(2, 1, 0),
+                 "bias": t2np(ref.conv1d.bias)},
+        "norm": ln(ref.norm),
+        "proj": lin(ref.proj),
+    })
+    cv, alpha, _, _ = ours.apply({"params": p}, ej, elj, ylj)
+    # reference returns the UNSCALED alpha in attn_state; compare raw
+    alpha_raw = ours.apply({"params": p}, ej, elj, None)[1]
+    np.testing.assert_allclose(np.asarray(alpha_raw), t2np(state["alpha"]),
+                               rtol=1e-4, atol=1e-5)
+    for b, yl in enumerate([5, 3]):
+        np.testing.assert_allclose(np.asarray(cv)[b, :yl],
+                                   t2np(cv_ref)[b, :yl],
+                                   rtol=1e-3, atol=1e-4, err_msg=f"b{b}")
