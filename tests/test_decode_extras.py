@@ -44,6 +44,7 @@ def test_transducer_tsd_and_mono_beam():
         assert all(t != 0 for t in h)  # no blanks in output
 
 
+@pytest.mark.slow
 def test_ilm_subtraction_changes_scores():
     model, params, xs, xlens = _model()
     h0 = Speech2TextSession(
@@ -56,6 +57,7 @@ def test_ilm_subtraction_changes_scores():
     assert len(h0) == len(h1) == 1  # runs; hyps may or may not differ
 
 
+@pytest.mark.slow
 def test_ensemble_decoding():
     model, params, xs, xlens = _model()
     model2, params2, _, _ = _model()
@@ -98,6 +100,7 @@ def test_cif_module():
     assert np.abs(a[1, 15:]).sum() < 1e-6
 
 
+@pytest.mark.slow
 def test_mbr_loss_prefers_low_risk():
     """MBR gradient must push probability toward the low-risk hypothesis."""
     import optax
@@ -137,6 +140,7 @@ def test_distillation_path():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_weight_noise_step():
     import optax
     from neural_sp_tpu.parallel.mesh import make_train_step

@@ -14,6 +14,9 @@ from neural_sp_tpu.models.decoders.decoding import (
 from neural_sp_tpu.trainers.optimizer import build_optimizer
 from neural_sp_tpu.evaluators.asr import eval_char
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

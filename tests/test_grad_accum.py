@@ -11,6 +11,10 @@ linearity of accumulation is load-bearing for the flagship bench.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+# heavy lane (default CI deselects; run all with `-m ""`)
+pytestmark = pytest.mark.slow
 
 
 def _tiny_model():

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 from neural_sp_tpu.models.speech2text import build_speech2text
 from neural_sp_tpu.models.encoders.transformer import XformerEncoder
 
+# heavy lane (default CI deselects; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

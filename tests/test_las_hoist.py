@@ -16,6 +16,9 @@ import pytest
 
 from neural_sp_tpu import PAD
 
+# heavy lane (default CI deselects; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

@@ -9,6 +9,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

@@ -159,6 +159,7 @@ def test_lm_dataset_windows(tmp_path):
     assert xib.shape == xi.shape
 
 
+@pytest.mark.slow
 def test_cold_fusion_training_and_graft():
     """Decoder-level cold fusion: pretrained LM grafted + frozen."""
     from types import SimpleNamespace

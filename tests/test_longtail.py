@@ -102,6 +102,7 @@ def test_resolve_unk_text():
     assert text == "the dog cat"
 
 
+@pytest.mark.slow
 def test_backward_beam_and_peak_merge_session():
     """dec_bwd beam runs and fwd_bwd_attention merging returns a hyp."""
     from types import SimpleNamespace
@@ -129,6 +130,7 @@ def test_backward_beam_and_peak_merge_session():
     assert hasattr(sess, "_last_nbest_peaks")
 
 
+@pytest.mark.slow
 def test_cif_attention_training_and_greedy():
     """CIF wired as attn_type='cif' (reference wires via attn_type;
     modules/cif.py): teacher-forced loss is finite with a quantity term,
@@ -164,6 +166,7 @@ def test_cif_attention_training_and_greedy():
     assert isinstance(hyps[0], list)
 
 
+@pytest.mark.slow
 def test_minlt_word_alignment_training(tmp_path):
     """MinLT latency training end-to-end: word alignments -> dataset
     trigger_points (input frames / subsample) -> latency loss in the MoChA

@@ -10,6 +10,9 @@ from neural_sp_tpu.models.modules.mocha import (
     parallel_monotonic_attention, soft_chunkwise_attention,
     hard_monotonic_attention, hard_chunkwise_attention)
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

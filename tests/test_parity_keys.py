@@ -73,6 +73,7 @@ def test_share_chunkwise_attention_mocha(share):
     assert width == (16 * 2 if share else 16 * 4)
 
 
+@pytest.mark.slow
 def test_share_chunkwise_attention_mma_transformer():
     args = base_args(dec_type="transformer", transformer_d_model=16,
                      transformer_d_ff=32, transformer_n_heads=4,
@@ -83,6 +84,7 @@ def test_share_chunkwise_attention_mma_transformer():
     train_grad(args)
 
 
+@pytest.mark.slow
 def test_mocha_1dconv_builds():
     train_grad(base_args(attn_type="mocha", mocha_chunk_size=2,
                          mocha_1dconv=True))
@@ -133,6 +135,7 @@ def test_sort_stop_epoch_switches_to_shuffle(tmp_path):
     dl.seed = 1
     dl.num_replicas = 1
     dl.longform_max_n_frames = 0
+    dl.shape_grid_t = 0
     dl.sort_stop_epoch = 3
     dl.epoch = 1
     sorted_batches = dl._make_batches()

@@ -28,6 +28,9 @@ from test_parity_reference import (  # noqa: E402
     t2np, lin, ln, merge, zeros_like_tree, rel_mha_params,
     conv_params, build_ref_las, las_params)
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 # scaled flagship shape: conv x2 (pool 2x2 each) -> 4L conformer -> LAS

@@ -474,6 +474,7 @@ def las_params(ref, base):
     return merge(p, {"step": step, "key_proj": lin(ref.score.w_key)})
 
 
+@pytest.mark.slow
 def test_las_decoder_teacher_forced_parity():
     """Teacher-forced LAS decoder (LSTM + location attention + readout):
     per-step logits and the XE loss match the reference (las.py:640-790,
@@ -516,6 +517,7 @@ def test_las_decoder_teacher_forced_parity():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_las_greedy_beam_top1_parity():
     """Greedy decoding and beam(4) top-1 of a tiny converted LAS model
     match the reference (las.py greedy :883-1006, beam_search :1062+)."""
@@ -597,6 +599,7 @@ def test_las_greedy_beam_top1_parity():
 
 
 # ------------------------------------------------------ TransformerLM ----
+@pytest.mark.slow
 def test_transformerlm_parity():
     """Full-sequence logits + incremental predict() of a converted
     TransformerLM match the reference (transformerlm.py:29-253)."""
@@ -660,6 +663,7 @@ def test_transformerlm_parity():
 
 
 # ------------------------------------------------------------ RNNLM -----
+@pytest.mark.slow
 def test_rnnlm_parity():
     """Converted RNNLM: full-sequence logits + stepwise predict match the
     reference (rnnlm.py:158-225)."""

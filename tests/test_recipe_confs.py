@@ -18,6 +18,9 @@ import jax.numpy as jnp
 
 from neural_sp_tpu.bin.args import load_config, parse_cli
 
+# heavy lane (default CI deselects; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 ROOT = os.path.join(os.path.dirname(__file__), "..", "examples")
 ALL_YAMLS = sorted(glob.glob(f"{ROOT}/**/*.yaml", recursive=True))
 CI_ASR = sorted(glob.glob(f"{ROOT}/ci_test/conf/asr/*.yaml"))

@@ -6,6 +6,9 @@ import pytest
 
 from neural_sp_tpu.models.encoders.transformer import XformerEncoder
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 
 def _mk(btype, scan_layers, **kw):
     base = dict(input_dim=20, btype=btype, d_model=32, d_ff=64, n_heads=4,

@@ -12,6 +12,9 @@ from neural_sp_tpu.models.speech2text import build_speech2text
 from neural_sp_tpu.models.decoders.ctc import ctc_greedy
 from neural_sp_tpu.trainers.optimizer import build_optimizer
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

@@ -12,6 +12,9 @@ from neural_sp_tpu.frontends.frame_stacking import stack_frame
 from neural_sp_tpu.frontends.splicing import splice
 from neural_sp_tpu.frontends.sequence_summary import SequenceSummaryNetwork
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 from neural_sp_tpu.models.encoders.rnn import RNNEncoder
 from neural_sp_tpu.frontends.streaming import StreamingDriver, CtcVAD
 
+# heavy end-to-end lane (default CI deselects via pytest.ini addopts; run all with `-m ""`)
+pytestmark = pytest.mark.slow
+
 RNG = jax.random.PRNGKey(0)
 
 
