@@ -4,7 +4,11 @@ Model dims/loss/batch follow the reference's headline Librispeech config
 (conf/asr/transformer/conformer_kernel15_clamp10_hie_subsample8_las_long_
 ln_large.yaml): 12L conformer d512/8H/d_ff2048 kernel15 rel-PE clamp10,
 total subsample x8, LAS LSTM-1024 location-attention decoder, wp vocab
-10k, CTC 0.3, batch 24,000 input frames — bf16 compute / f32 masters.
+10k, CTC 0.3, effective batch 384k frames per update (the conf's 24,000
+frames x accum 16) — bf16 compute / f32 masters. The microbatch is the
+TPU-optimal 96k frames (64 utts) x accum 4, IDENTICAL optimization
+semantics (accumulation is linear; r4 on-chip sweep in
+tools/accum_sweep.py), timed over whole accumulation cycles.
 One documented deviation for round-over-round comparability: the x8
 subsampling is conv x4 + one interlayer x2 (drop) here vs the conf's
 conv x2 + two interlayer x2 (max_pool) — equal output rate, fewer
@@ -113,9 +117,17 @@ def main():
     args = flagship_args()
     model = build_speech2text(args)
 
-    # 24,000-frame batch (reference batch_size: 24000, type: frame):
-    # 16 utterances x 1500 frames (~15 s each), ~100 wp tokens/utt
-    bs, t, u = 16, 1500, 100
+    # Effective batch follows the reference conf EXACTLY: batch_size 24000
+    # frames x accum_grad_n_steps 16 = 384k frames per optimizer update.
+    # The reference's 24k microbatch is its 24GB-GPU memory ceiling, not
+    # semantics; gradient accumulation is linear, so any (bs, k) with
+    # bs*1500*k = 384k trains identically. The r4 on-chip sweep
+    # (tools/accum_sweep.py) measured utts/s over FULL accumulation
+    # cycles: bs8 191.9 / bs16 243.3 / bs32 271.7 / bs64 317.5 /
+    # bs128 294.7 -> the TPU-optimal microbatch is 96k frames (bs 64,
+    # accum 4); larger batches amortise dispatch + weight traffic until
+    # activations blow past ~HBM-friendly sizes at bs128.
+    bs, t, u, accum = 64, 1500, 100, 4
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
     xlens = jnp.full((bs,), t, jnp.int32)
@@ -126,7 +138,7 @@ def main():
     tx = build_optimizer("noam",
                          schedule=noam_schedule(args.transformer_d_model,
                                                 25000, factor=5.0),
-                         clip_grad_norm=5.0)
+                         clip_grad_norm=5.0, accum_grad_n_steps=accum)
     params = variables["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     opt_state = tx.init(params)
@@ -148,14 +160,19 @@ def main():
         leaf = jax.tree.leaves(tree)[0]
         return float(jnp.ravel(leaf)[0])
 
-    params, opt_state, m = step(params, opt_state, key, xs, xlens, ys, ylens)
+    # warm one FULL accumulation cycle so the optimizer-apply branch is
+    # exercised before timing
+    for i in range(accum):
+        params, opt_state, m = step(params, opt_state,
+                                    jax.random.fold_in(key, 1000 + i),
+                                    xs, xlens, ys, ylens)
     force(params)  # compile + warm (forces the full optimizer chain)
     import signal
     wd.cancel()  # compile done; timing loops run unwatched
 
-    # enough iterations that per-dispatch host/tunnel jitter amortises;
+    # whole accumulation cycles only (the apply step's cost is included);
     # best-of-3 windows guards against transient contention
-    n_iters = 20
+    n_iters = 4 * accum
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
@@ -243,6 +260,12 @@ def main():
                                       opt_state, key, args, force)
     except Exception as e:
         extras["bucketed"] = {"error": str(e)[:120]}
+    # the bs-64 primary + bucketed graphs leave HBM nearly full; the
+    # decode/streaming extras only need params, so free the optimizer
+    # state (f32 masters + moments, ~1.2 GB) before compiling them
+    opt_state = None
+    import gc
+    gc.collect()
     try:
         extras["decode_beam"] = _alarmed(_bench_decode_beam, model, params,
                                          force)
@@ -263,17 +286,19 @@ def _bench_bucketed(step, params, opt_state, key, args, force):
     single mixed batch (800-1500 frames), but batched by the sampler's
     padded-area shape grid (sampler._batch_size_padded_area, grid_t=128):
     each batch is padded to its grid ceiling and sized so the padded area
-    stays <= 24000 frames. Times every distinct compiled shape once and
+    stays <= 96000 frames. Times every distinct compiled shape once and
     aggregates epoch throughput over REAL utterances; pad_waste counts pad
     frames in the padded areas actually dispatched."""
     import pandas as pd
     from neural_sp_tpu.datasets.asr.sampler import make_batches, _round_up
     grid_t = 128
     lens_pop = sorted([1500, 1500, 1400, 1400, 1300, 1300, 1200, 1200,
-                       1100, 1100, 1000, 1000, 900, 900, 800, 800] * 6)
+                       1100, 1100, 1000, 1000, 900, 900, 800, 800] * 24)
     df = pd.DataFrame({"xlen": lens_pop, "ylen": [100] * len(lens_pop),
                        "utt_id": [f"u{i}" for i in range(len(lens_pop))]})
-    batches = make_batches(df, batch_size=24000, batch_size_type="frame",
+    # microbatch scaled to the r4 sweep optimum (96k padded frames, the
+    # bs-64 point of the fixed-effective-batch sweep; see main())
+    batches = make_batches(df, batch_size=96000, batch_size_type="frame",
                            bucketing="sort", shape_grid_t=grid_t)
     # collapse to distinct (bs, t_pad) shapes; time each once
     shapes = {}
@@ -284,8 +309,11 @@ def _bench_bucketed(step, params, opt_state, key, args, force):
         shapes[shape] = (cnt + 1, real + sum(blens))
     u = 100
     rng = np.random.default_rng(1)
-    p = jax.tree.map(jnp.copy, params)
-    o = jax.tree.map(jnp.copy, opt_state)
+    # use the live state (no copies): at the bs-64 microbatch a duplicate
+    # params+opt set is ~2.4 GB and pushed HBM over the edge (measured
+    # RESOURCE_EXHAUSTED); the primary metric is already recorded, so
+    # perturbing the state here is fine
+    p, o = params, opt_state
     total_time = 0.0
     total_utts = 0
     total_real = 0
