@@ -110,6 +110,9 @@ EVAL_DEFAULTS = dict(
     recog_eos_threshold=1.5, recog_ctc_weight=0.0, recog_lm_weight=0.0,
     recog_ilm_weight=0.0, recog_softmax_smoothing=1.0,
     recog_n_average=1, recog_batch_size=1,
+    # 'timit_39'/'timit_48': reduce phone hyps+refs to TIMIT scoring
+    # classes before PER (reference examples/timit/s5/score.sh)
+    recog_phone_map="",
 )
 
 

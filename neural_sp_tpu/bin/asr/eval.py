@@ -159,7 +159,9 @@ def main(argv=None):
             logger.info("%s: oracle WER %.2f (%d utts)", tsv,
                         m["oracle_wer"], m["n_utts"])
         else:
-            m = eval_unit(session, loader, targs.unit, save_dir=out_dir)
+            m = eval_unit(session, loader, targs.unit, save_dir=out_dir,
+                          phone_map=getattr(args, "recog_phone_map", "")
+                          or None)
             if getattr(args, "recog_wer_by_length", False):
                 from ...evaluators.asr import eval_wer_by_length
                 m.update(eval_wer_by_length(session, loader))

@@ -39,9 +39,20 @@ def eval_unit(
     unit: str = "char",
     save_dir: str | None = None,
     progress: bool = False,
+    phone_map: str | None = None,
 ) -> dict:
-    """Returns metrics dict {wer, cer, n_sub, n_ins, n_del, rtf, n_utts}."""
+    """Returns metrics dict {wer, cer, n_sub, n_ins, n_del, rtf, n_utts}.
+
+    phone_map: 'timit_39' / 'timit_48' reduces ref+hyp phone tokens to the
+    standard TIMIT scoring classes before PER, like the reference's
+    score.sh -> timit_norm_trans.pl pipeline (examples/timit/s5).
+    """
     idx2token = loader.idx2token
+    norm = None
+    if phone_map:
+        from ..utils.scoring import timit_norm_trans
+        to = int(phone_map.rsplit("_", 1)[1])
+        norm = lambda toks: timit_norm_trans(toks, to=to)
     n_w_err = n_w_tok = 0
     n_sub = n_ins = n_del = 0
     cer_num = cer_den = 0
@@ -58,10 +69,9 @@ def eval_unit(
         if ref_f:
             ref_f.write(f"{ref_text} ({spk}-{utt_id})\n")
             hyp_f.write(f"{hyp_text} ({spk}-{utt_id})\n")
-        if unit == "phone":
-            ref_toks, hyp_toks = ref_text.split(), hyp_text.split()
-        else:
-            ref_toks, hyp_toks = ref_text.split(), hyp_text.split()
+        ref_toks, hyp_toks = ref_text.split(), hyp_text.split()
+        if norm is not None:
+            ref_toks, hyp_toks = norm(ref_toks), norm(hyp_toks)
         _, s, i, d = compute_wer(ref_toks, hyp_toks)
         n_w_err += s + i + d
         n_w_tok += len(ref_toks)
