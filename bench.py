@@ -9,16 +9,31 @@ frames x accum 16) — bf16 compute / f32 masters. The microbatch is the
 TPU-optimal 96k frames (64 utts) x accum 4, IDENTICAL optimization
 semantics (accumulation is linear; r4 on-chip sweep in
 tools/accum_sweep.py), timed over whole accumulation cycles.
-One documented deviation for round-over-round comparability: the x8
-subsampling is conv x4 + one interlayer x2 (drop) here vs the conf's
-conv x2 + two interlayer x2 (max_pool) — equal output rate, fewer
-early-layer frames; the shipped recipe yaml is the faithful transcription.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
-The reference publishes no GPU throughput (SURVEY.md §6); vs_baseline uses a
-fixed estimate of 40 utts/sec/GPU (typical V100 rate for this config at
-batch 24k frames) so the ratio is stable across rounds. Extras report
-step_ms and MFU (compiler-counted HLO FLOPs / step time / chip peak).
+The headline case keeps one documented deviation for round-over-round
+comparability: x8 subsampling as conv x4 + one interlayer x2 (drop) vs the
+conf's conv x2 + two interlayer x2 (max_pool) — equal output rate, fewer
+early-layer frames. The FAITHFUL transcription (the shipped yaml verbatim)
+is timed as `extra_faithful` so both numbers are recorded.
+
+Output protocol: prints the primary JSON line {"metric", "value", "unit",
+"vs_baseline", "step_ms", "mfu", ...} THE MOMENT the main timing loop
+finishes, then re-emits one combined line with extras appended. A consumer
+should take the LAST parseable line; the first line makes the primary
+metric un-losable if an extra hangs. vs_baseline: the reference publishes
+no GPU throughput (SURVEY.md §6); a fixed estimate of 40 utts/sec/GPU
+(typical V100 rate for this config at batch 24k frames) keeps the ratio
+stable across rounds.
+
+Robustness (the remote compile pool hangs at random — ROADMAP env notes):
+- persistent XLA compilation cache in .jax_cache/ — repeat runs skip most
+  compiles entirely;
+- short preflight (75 s) + per-phase deadman threads -> exit(3) -> the
+  parent wrapper respawns into a fresh worker, bounded by a total wall
+  budget (NSP_BENCH_WALL, default 1020 s) instead of a fixed retry count;
+- when the remaining budget is low the child degrades to fast mode
+  (primary metric only, NSP_BENCH_FAST semantics) rather than exiting
+  empty.
 """
 import json
 import sys
@@ -27,9 +42,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_T0 = time.monotonic()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: survives across processes/rounds on this
+# machine, so the driver's end-of-round run hits programs compiled during
+# the round. Harmless when cold.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
 
 REFERENCE_UTTS_PER_SEC = 40.0
 
@@ -48,17 +77,29 @@ def _chip_peak() -> float:
     return 197e12  # default: v5e
 
 
-def flagship_args():
-    """The shipped large config, verbatim dims (bin/args.py flag names)."""
+def _budget_left() -> float:
+    total = float(os.environ.get("NSP_BENCH_REMAINING", "1e9"))
+    return total - (time.monotonic() - _T0)
+
+
+def flagship_args(faithful: bool = False):
+    """The shipped large config, verbatim dims (bin/args.py flag names).
+
+    faithful=True uses the conf's exact x8 subsampling (conv x2 + two
+    interlayer max_pool x2); default is the equal-output-rate comparability
+    variant (conv x4 + one interlayer drop) documented above.
+    """
     from types import SimpleNamespace
     return SimpleNamespace(
         enc_type="conv_conformer", input_dim=80,
         conv_channels="32_32", conv_kernel_sizes="(3,3)_(3,3)",
-        conv_poolings="(2,2)_(2,2)",
+        conv_poolings="(1,1)_(2,2)" if faithful else "(2,2)_(2,2)",
         enc_n_layers=12, transformer_d_model=512, transformer_d_ff=2048,
         transformer_n_heads=8, transformer_enc_pe_type="relative",
         transformer_enc_clamp_len=10, conformer_kernel_size=15,
-        subsample="1_1_1_2_1_1_1_1_1_1_1_1", subsample_type="drop",
+        subsample=("1_1_1_2_1_1_1_2_1_1_1_1" if faithful
+                   else "1_1_1_2_1_1_1_1_1_1_1_1"),
+        subsample_type="max_pool" if faithful else "drop",
         # dropout values VERBATIM from the reference conf (the large yaml
         # sets dropout_att 0.0, dropout_dec/emb 0.1)
         dropout_enc=0.1, dropout_att=0.0,
@@ -71,8 +112,8 @@ def flagship_args():
     )
 
 
-def _deadman(seconds: int, msg: str):
-    """Thread-based deadline -> os._exit(3). SIGALRM is NOT enough here:
+def _deadman(seconds: float, msg: str, code: int = 3):
+    """Thread-based deadline -> os._exit(code). SIGALRM is NOT enough here:
     when the main thread hangs inside the tunnel's blocking C call the
     handler is deferred forever (observed: a 150 s alarm never fired over
     a 1200 s hang); a daemon thread's os._exit is immune. exit code 3
@@ -80,9 +121,9 @@ def _deadman(seconds: int, msg: str):
     import threading
 
     def _bail():
-        print(f"deadman: {msg} ({seconds}s), respawning",
+        print(f"deadman: {msg} ({seconds:.0f}s), respawning",
               file=sys.stderr, flush=True)
-        os._exit(3)
+        os._exit(code)
 
     t = threading.Timer(seconds, _bail)
     t.daemon = True
@@ -90,32 +131,92 @@ def _deadman(seconds: int, msg: str):
     return t
 
 
-def _preflight(seconds: int = 150):
+def _preflight(seconds: float = 75):
     """The remote compile pool has a lottery: some workers hang compiles
-    indefinitely (ROADMAP environment notes). Probe with a trivial compile
-    under a deadman thread; on timeout exit(3) so the parent wrapper
-    respawns into a (hopefully) healthy worker."""
+    (and sometimes executions) indefinitely (ROADMAP environment notes).
+    Probe with a trivial compile under a deadman thread; on timeout exit(3)
+    so the parent wrapper respawns into a (hopefully) healthy worker."""
+    seconds = min(seconds, max(_budget_left() * 0.3, 30))
     t = _deadman(seconds, "preflight compile unresponsive")
     x = jnp.ones((256, 256), jnp.float32)
     float((x @ x).sum())
     t.cancel()
 
 
-def _watchdog(seconds: int):
-    return _deadman(seconds, "no progress")
+def _force(tree):
+    """Force REAL completion: through the remote-dispatch tunnel,
+    block_until_ready returns before execution finishes — only a
+    device->host transfer truly synchronises."""
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.ravel(leaf)[0])
 
 
-def main():
+def _abs_of(tr):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tr)
+
+
+def _build_train(args, bs, t, u, accum, donate=True):
+    """Model + optimizer + jitted accum train step for a flagship-style
+    config. Returns (step, params, opt_state, inputs, n_params, lowered)."""
     from neural_sp_tpu.models.speech2text import build_speech2text
     from neural_sp_tpu.parallel.mesh import make_train_step
     from neural_sp_tpu.trainers.optimizer import build_optimizer
     from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
 
-    _preflight()
-    wd = _watchdog(1800)  # covers the flagship compile; cancelled below
-
-    args = flagship_args()
     model = build_speech2text(args)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
+    xlens = jnp.full((bs,), t, jnp.int32)
+    ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
+    ylens = jnp.full((bs,), u, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+    tx = build_optimizer("noam",
+                         schedule=noam_schedule(args.transformer_d_model,
+                                                25000, factor=5.0),
+                         clip_grad_norm=5.0, accum_grad_n_steps=accum)
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, mesh=None, donate=donate,
+                           compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    # lower for cost analysis BEFORE the loop (donation deletes the inputs)
+    lowered = step._lower(
+        _abs_of(params), _abs_of(opt_state), _abs_of(key), _abs_of(xs),
+        _abs_of(xlens), _abs_of(ys), _abs_of(ylens),
+        jax.ShapeDtypeStruct((), jnp.float32))
+    return model, step, params, opt_state, (xs, xlens, ys, ylens), \
+        n_params, lowered
+
+
+def _time_step(step, params, opt_state, inputs, accum, n_windows=3,
+               cycles_per_window=4):
+    """Warm one full accumulation cycle, then time whole cycles; best-of-N
+    windows guards against transient tunnel contention. Returns
+    (per-step dt, params, opt_state)."""
+    key = jax.random.PRNGKey(0)
+    xs, xlens, ys, ylens = inputs
+    for i in range(accum):
+        params, opt_state, m = step(params, opt_state,
+                                    jax.random.fold_in(key, 1000 + i),
+                                    xs, xlens, ys, ylens)
+    _force(params)  # compile + warm (forces the full optimizer chain)
+    n_iters = cycles_per_window * accum
+    best_dt = float("inf")
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            params, opt_state, m = step(params, opt_state,
+                                        jax.random.fold_in(key, i),
+                                        xs, xlens, ys, ylens)
+        _force(params)  # sync on the LAST step's updated params
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
+    return best_dt, params, opt_state
+
+
+def main():
+    _preflight()
 
     # Effective batch follows the reference conf EXACTLY: batch_size 24000
     # frames x accum_grad_n_steps 16 = 384k frames per optimizer update.
@@ -128,59 +229,35 @@ def main():
     # accum 4); larger batches amortise dispatch + weight traffic until
     # activations blow past ~HBM-friendly sizes at bs128.
     bs, t, u, accum = 64, 1500, 100, 4
-    rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
-    xlens = jnp.full((bs,), t, jnp.int32)
-    ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
-    ylens = jnp.full((bs,), u, jnp.int32)
+    fast = (os.environ.get("NSP_BENCH_FAST") == "1"
+            or _budget_left() < 480)
 
-    variables = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
-    tx = build_optimizer("noam",
-                         schedule=noam_schedule(args.transformer_d_model,
-                                                25000, factor=5.0),
-                         clip_grad_norm=5.0, accum_grad_n_steps=accum)
-    params = variables["params"]
-    n_params = sum(x.size for x in jax.tree.leaves(params))
-    opt_state = tx.init(params)
-    step = make_train_step(model, tx, mesh=None, donate=True,
-                           compute_dtype=jnp.bfloat16)
-
+    # a hang inside the flagship compile must respawn (exit 3), not eat the
+    # whole driver budget: a good worker compiles this in ~120 s (seconds
+    # when the .jax_cache is warm)
+    wd = _deadman(min(480.0, max(_budget_left() - 90, 120)),
+                  "flagship compile/warm unresponsive")
+    args = flagship_args()
+    model, step, params, opt_state, inputs, n_params, lowered = \
+        _build_train(args, bs, t, u, accum)
+    xs, xlens, ys, ylens = inputs
     key = jax.random.PRNGKey(0)
-    # lower for cost analysis BEFORE the loop (donation deletes the inputs)
-    abs_of = lambda tr: jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tr)
-    lowered = step._lower(
-        abs_of(params), abs_of(opt_state), abs_of(key), abs_of(xs),
-        abs_of(xlens), abs_of(ys), abs_of(ylens),
-        jax.ShapeDtypeStruct((), jnp.float32))
-    def force(tree):
-        """Force REAL completion: through the remote-dispatch tunnel,
-        block_until_ready returns before execution finishes — only a
-        device->host transfer truly synchronises."""
-        leaf = jax.tree.leaves(tree)[0]
-        return float(jnp.ravel(leaf)[0])
-
-    # warm one FULL accumulation cycle so the optimizer-apply branch is
-    # exercised before timing
     for i in range(accum):
         params, opt_state, m = step(params, opt_state,
                                     jax.random.fold_in(key, 1000 + i),
                                     xs, xlens, ys, ylens)
-    force(params)  # compile + warm (forces the full optimizer chain)
-    import signal
-    wd.cancel()  # compile done; timing loops run unwatched
+    _force(params)  # compile + warm
+    wd.cancel()
 
-    # whole accumulation cycles only (the apply step's cost is included);
-    # best-of-3 windows guards against transient contention
-    n_iters = 4 * accum
+    n_iters = (2 if fast else 4) * accum
     best_dt = float("inf")
-    for w in range(3):
+    for w in range(2 if fast else 3):
         t0 = time.perf_counter()
         for i in range(n_iters):
             params, opt_state, m = step(params, opt_state,
                                         jax.random.fold_in(key, i),
                                         xs, xlens, ys, ylens)
-        force(params)  # sync on the LAST step's updated params
+        _force(params)
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
     dt = best_dt
 
@@ -199,22 +276,6 @@ def main():
 
     utts_per_sec = bs / dt
 
-    # ---- realism extras (VERDICT r2 #9) --------------------------------
-    # each extra compiles fresh programs — guard against the compile-worker
-    # lottery with a per-extra alarm that aborts JUST that extra (the
-    # primary metric above is already measured and must still print)
-    def _alarmed(fn, *a, seconds=900):
-        def _to(signum, frame):
-            raise TimeoutError("extra timed out (compile worker hang?)")
-        old = signal.signal(signal.SIGALRM, _to)
-        signal.alarm(seconds)
-        try:
-            return fn(*a)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
-
-    # shared core payload — fast mode prints it as-is; full mode extends it
     payload = {
         "metric": "flagship_conformer_las_train_throughput",
         "value": round(utts_per_sec, 2),
@@ -222,18 +283,23 @@ def main():
         "vs_baseline": round(utts_per_sec / REFERENCE_UTTS_PER_SEC, 3),
         "step_ms": round(dt * 1e3, 2),
         "mfu": round(mfu, 4) if mfu > 0 else None,
-    }
-    if os.environ.get("NSP_BENCH_FAST") == "1":
-        # iteration mode: primary metric only, no extras
-        print(json.dumps(payload), flush=True)
-        return
-
-    payload.update({
         "frames_per_step": bs * t,
         "n_params_m": round(n_params / 1e6, 1),
         "device": jax.devices()[0].device_kind,
         "compute_dtype": "bfloat16",
-    })
+    }
+    # PRIMARY metric is now safe: emit it before anything else can hang
+    print(json.dumps(payload), flush=True)
+    if fast:
+        return
+
+    # ---- realism extras (VERDICT r2 #9 / r4 #3) ------------------------
+    # each extra compiles fresh programs — guard against the compile-worker
+    # lottery with a per-extra alarm that aborts JUST that extra, plus a
+    # global extras deadman that re-emits what we have and exits clean
+    import signal
+    import threading
+
     extras = {}
 
     def _emit():
@@ -241,39 +307,52 @@ def main():
                           **{f"extra_{k}": v for k, v in extras.items()}}),
               flush=True)
 
-    # the SIGALRM guard below can't fire while an extra hangs inside the
-    # tunnel's blocking C call (handler deferred) — a deadman THREAD makes
-    # the primary metric un-losable: emit what we have and exit clean
-    import threading
-
     def _emit_and_exit():
         extras["aborted"] = "extras deadman fired (compile worker hang)"
         _emit()
         os._exit(0)
 
-    dead = threading.Timer(3600, _emit_and_exit)
+    dead = threading.Timer(max(_budget_left() - 45, 60), _emit_and_exit)
     dead.daemon = True
     dead.start()
 
+    def _alarmed(fn, *a, seconds=900):
+        def _to(signum, frame):
+            raise TimeoutError("extra timed out (compile worker hang?)")
+        old = signal.signal(signal.SIGALRM, _to)
+        signal.alarm(int(min(seconds, max(_budget_left() - 60, 30))))
+        try:
+            return fn(*a)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     try:
         extras["bucketed"] = _alarmed(_bench_bucketed, step, params,
-                                      opt_state, key, args, force)
+                                      opt_state, key, args)
     except Exception as e:
         extras["bucketed"] = {"error": str(e)[:120]}
-    # the bs-64 primary + bucketed graphs leave HBM nearly full; the
-    # decode/streaming extras only need params, so free the optimizer
-    # state (f32 masters + moments, ~1.2 GB) before compiling them
+    _emit()
+    # the bs-64 primary + bucketed graphs leave HBM nearly full; later
+    # extras need progressively less primary state — free as we go
     opt_state = None
     import gc
     gc.collect()
     try:
-        extras["decode_beam"] = _alarmed(_bench_decode_beam, model, params,
-                                         force)
+        extras["decode_beam"] = _alarmed(_bench_decode_beam, model, params)
     except Exception as e:
         extras["decode_beam"] = {"error": str(e)[:120]}
+    _emit()
+    # faithful flagship (VERDICT r4 #3): fresh state; free the primary's
+    params = model = step = None
+    gc.collect()
     try:
-        extras["streaming"] = _alarmed(_bench_streaming, force,
-                                       seconds=1500)
+        extras["faithful"] = _alarmed(_bench_faithful, bs, t, u, accum, dt)
+    except Exception as e:
+        extras["faithful"] = {"error": str(e)[:120]}
+    _emit()
+    try:
+        extras["streaming"] = _alarmed(_bench_streaming, seconds=1500)
     except Exception as e:
         extras["streaming"] = {"error": str(e)[:120]}
 
@@ -281,7 +360,25 @@ def main():
     _emit()
 
 
-def _bench_bucketed(step, params, opt_state, key, args, force):
+def _bench_faithful(bs, t, u, accum, primary_dt):
+    """The shipped conf's EXACT subsampling (conv x2 via poolings
+    (1,1)_(2,2) + interlayer max_pool x2 at blocks 4 and 8) — the faithful
+    transcription of the reference yaml, vs the headline's equal-output-
+    rate variant. Reports both so the deviation is quantified in the
+    artifact (VERDICT r4 weak #3)."""
+    args = flagship_args(faithful=True)
+    _, step, params, opt_state, inputs, n_params, _ = \
+        _build_train(args, bs, t, u, accum)
+    dt, params, opt_state = _time_step(step, params, opt_state, inputs,
+                                       accum, n_windows=2,
+                                       cycles_per_window=3)
+    return {"utts_per_sec": round(bs / dt, 2),
+            "step_ms": round(dt * 1e3, 2),
+            "subsampling": "conv2+maxpool2x2 (faithful yaml)",
+            "vs_headline_variant": round((bs / dt) / (bs / primary_dt), 3)}
+
+
+def _bench_bucketed(step, params, opt_state, key, args):
     """Realistic mixed-length training: the SAME length population as r3's
     single mixed batch (800-1500 frames), but batched by the sampler's
     padded-area shape grid (sampler._batch_size_padded_area, grid_t=128):
@@ -328,14 +425,14 @@ def _bench_bucketed(step, params, opt_state, key, args, force):
         ys = jnp.asarray(rng.integers(4, args.vocab, (bs, u)), jnp.int32)
         ylens = jnp.full((bs,), u, jnp.int32)
         p, o, m = step(p, o, key, xs, xlens, ys, ylens)  # compile + warm
-        force(m["loss"])
+        _force(m["loss"])
         best = float("inf")
         for w in range(2):
             t0 = time.perf_counter()
             for i in range(5):
                 p, o, m = step(p, o, jax.random.fold_in(key, 999 + i),
                                xs, xlens, ys, ylens)
-            force(m["loss"])
+            _force(m["loss"])
             best = min(best, (time.perf_counter() - t0) / 5)
         total_time += best * cnt
         total_utts += bs * cnt
@@ -347,7 +444,7 @@ def _bench_bucketed(step, params, opt_state, key, args, force):
             "pad_waste": round(1.0 - total_real / total_area, 3)}
 
 
-def _bench_decode_beam(model, params, force):
+def _bench_decode_beam(model, params):
     """Offline device-beam decoding throughput on the flagship model."""
     from neural_sp_tpu.models.decoders.decoding import (
         Speech2TextSession, DecodeConfig)
@@ -367,7 +464,7 @@ def _bench_decode_beam(model, params, force):
             "batch": bs}
 
 
-def _bench_streaming(force):
+def _bench_streaming():
     """Streaming decode RTF on a 16 s stream (forced-sync through the
     tunnel): greedy CTC device-scan + device block-sync MoChA beam."""
     from types import SimpleNamespace
@@ -426,17 +523,29 @@ def _bench_streaming(force):
 if __name__ == "__main__":
     if os.environ.get("_NSP_BENCH_CHILD") != "1":
         # parent wrapper: respawn on preflight/watchdog exit(3) — a fresh
-        # process draws a fresh compile worker from the pool
+        # process draws a fresh compile worker from the pool. Bounded by a
+        # TOTAL WALL BUDGET, not a retry count: r4 burned its whole budget
+        # on 4x150 s preflights and the driver killed it with nothing
+        # printed.
         import subprocess
-        rc = 1
-        for attempt in range(4):
+        wall = float(os.environ.get("NSP_BENCH_WALL", "1020"))
+        t_start = time.monotonic()
+        rc, attempt = 1, 0
+        while True:
+            remaining = wall - (time.monotonic() - t_start)
+            if remaining < 120:
+                print(f"bench: wall budget exhausted after {attempt} "
+                      f"attempts", file=sys.stderr, flush=True)
+                break
             env = dict(os.environ)
             env["_NSP_BENCH_CHILD"] = "1"
+            env["NSP_BENCH_REMAINING"] = str(remaining - 15)
             rc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                 env=env).returncode
             if rc != 3:
                 break
-            print(f"bench: retrying ({attempt + 1})", file=sys.stderr,
+            attempt += 1
+            print(f"bench: retrying ({attempt})", file=sys.stderr,
                   flush=True)
         sys.exit(rc)
     main()

@@ -100,6 +100,8 @@ TRAIN_DEFAULTS = dict(
 
 
 def parse_args_train(argv: list[str]) -> SimpleNamespace:
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()   # every CLI run after the first starts warm
     return parse_cli(argv, TRAIN_DEFAULTS)
 
 
@@ -119,6 +121,8 @@ EVAL_DEFAULTS = dict(
 def parse_args_eval(argv: list[str]) -> SimpleNamespace:
     """Loads the training conf.yml next to --recog_model, then overlays
     recog_* flags."""
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = parse_cli(argv, EVAL_DEFAULTS)
     model_path = getattr(args, "recog_model", None)
     if model_path:

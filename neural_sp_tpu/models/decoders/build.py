@@ -78,6 +78,7 @@ def build_decoder(args, vocab: int, enc_n_units: int,
         lsm_prob=_get(args, "lsm_prob", 0.0),
         ss_prob=_get(args, "ss_prob", 0.0),
         zoneout=_get(args, "zoneout", 0.0),
+        cif_conv_kernel_size=_get(args, "cif_conv_kernel_size", 3),
         mocha_chunk_size=_get(args, "mocha_chunk_size", 1),
         mocha_n_heads_mono=_get(args, "mocha_n_heads_mono", 1),
         mocha_n_heads_chunk=_get(args, "mocha_n_heads_chunk", 1),

@@ -224,7 +224,7 @@ class Speech2TextSession:
         cif.py:128-133), and each fired context advances the decoder one
         greedy step. Matches the offline unscaled firing path on the
         fully-fired tokens (tests/test_decode_extras.py)."""
-        from ..modules.cif import CIF, CifStreamer
+        from ..modules.cif import CifStreamer
         dec = self.dec
         assert isinstance(dec, RNNDecoder) and dec.attn_type == "cif"
         eouts = self.encode(xs, xlens)
@@ -242,7 +242,11 @@ class Speech2TextSession:
                     method=lambda mdl, c, y, ctx, e, msk:
                     mdl.dec_fwd.decode_step_cif(c, y, ctx, e, msk)))
 
-        h = (CIF.conv_kernel_size - 1) // 2   # conv lookahead/lookback
+        # conv lookahead/lookback derived from the BOUND instance's params
+        # (not the CIF class default): the alpha conv kernel is
+        # dec_fwd/cif/conv with shape (kernel_size, D, D)
+        k = int(self.params["dec_fwd"]["cif"]["conv"]["kernel"].shape[0])
+        h = (k - 1) // 2
         e_np = np.asarray(e[0][:T], np.float32)
         streamer = CifStreamer()
         left_ctx = np.zeros((h, e_np.shape[-1]), np.float32)
@@ -264,11 +268,12 @@ class Speech2TextSession:
                 jnp.asarray([len(seg)])))[0]
             contexts.extend(streamer.push(
                 al[h: h + n_commit], buf[:n_commit], final=final))
-            left_ctx = buf[max(n_commit - h, 0): n_commit]
-            if len(left_ctx) < h:
-                left_ctx = np.concatenate(
-                    [np.zeros((h - len(left_ctx), e_np.shape[-1]),
-                              np.float32), left_ctx], 0)
+            # carry the TRUE preceding frames: tail of (old left_ctx ++
+            # committed) — when n_commit < h the old left context still
+            # covers part of the window (zero-padding there would diverge
+            # from the offline conv)
+            left_ctx = np.concatenate([left_ctx, buf[:n_commit]], 0)[
+                len(left_ctx) + n_commit - h:]
             leftover = buf[n_commit:]
 
         # greedy decode: one step per fired context

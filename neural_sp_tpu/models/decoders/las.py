@@ -357,6 +357,8 @@ class RNNDecoder(nn.Module):
     ss_prob: float = 0.0
     backward: bool = False
     zoneout: float = 0.0
+    # CIF (reference modules/cif.py: `window`, must be odd)
+    cif_conv_kernel_size: int = 3
     # MoChA / MMA
     mocha_chunk_size: int = 1
     mocha_n_heads_mono: int = 1
@@ -422,7 +424,8 @@ class RNNDecoder(nn.Module):
             )(**fields, name="step")
         if self.attn_type == "cif":
             from ..modules.cif import CIF
-            self.cif = CIF(enc_dim=self.enc_n_units)
+            self.cif = CIF(enc_dim=self.enc_n_units,
+                           conv_kernel_size=self.cif_conv_kernel_size)
         # attention key projection hoisted out of the scan
         if self.attn_type == "mocha":
             # biases match the reference energies: w_key has a bias

@@ -50,6 +50,19 @@ def _ceil_div_lens(xlens, factor: int):
     return jnp.ceil(xlens.astype(jnp.float32) / factor).astype(jnp.int32)
 
 
+def _edge_fill(h: jnp.ndarray, t_valid, fill: float) -> jnp.ndarray:
+    """Overwrite frames at positions >= t_valid (the BATCH edge) with
+    ``fill``. Under bucketed fixed-shape batches T can exceed max(xlens);
+    the reference's arrays end exactly at max(xlens), so its SAME conv
+    padding sees zeros (and its ceil max-pool sees -1e9 tail pads) there —
+    this reproduces that edge so bucket-padded batches compute the same
+    valid frames as packed ones. No-op when T == max(xlens)."""
+    if t_valid is None:
+        return h
+    idx = jnp.arange(h.shape[1]) < t_valid
+    return jnp.where(idx.reshape((1, -1) + (1,) * (h.ndim - 2)), h, fill)
+
+
 def _pool_time(xs: jnp.ndarray, pt: int, pf: int) -> jnp.ndarray:
     """Max-pool [B, T, F, C] with tail padding (ceil semantics)."""
     b, t, f, c = xs.shape
@@ -71,11 +84,14 @@ class Conv2dBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, xs, deterministic: bool = True):
+    def __call__(self, xs, deterministic: bool = True, t_valid=None):
         for i in range(2):
             stride = self.stride if i == 0 else (1, 1)
+            xs = _edge_fill(xs, t_valid, 0.0)  # conv sees the packed edge
             xs = nn.Conv(self.channels, self.kernel, strides=stride,
                          padding="SAME", name=f"conv{i+1}")(xs)
+            if i == 0 and stride[0] > 1 and t_valid is not None:
+                t_valid = _ceil_div_lens(t_valid, stride[0])
             if self.normalization == "layer_norm":
                 xs = nn.LayerNorm(name=f"norm{i+1}")(xs)
             elif self.normalization == "batch_norm":
@@ -84,6 +100,9 @@ class Conv2dBlock(nn.Module):
             xs = nn.relu(xs)
             xs = Dropout(self.dropout)(xs, deterministic=deterministic)
         if max(self.pooling) > 1:
+            # straddling pool windows must ignore beyond-edge positions just
+            # like the packed batch's -1e9 ceil-pad tail
+            xs = _edge_fill(xs, t_valid, -1e9)
             xs = _pool_time(xs, *self.pooling)
         return xs
 
@@ -98,11 +117,14 @@ class Conv1dBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, xs, deterministic: bool = True):
+    def __call__(self, xs, deterministic: bool = True, t_valid=None):
         for i in range(2):
             stride = self.stride if i == 0 else 1
+            xs = _edge_fill(xs, t_valid, 0.0)  # conv sees the packed edge
             xs = nn.Conv(self.channels, (self.kernel,), strides=(stride,),
                          padding="SAME", name=f"conv{i+1}")(xs)
+            if i == 0 and stride > 1 and t_valid is not None:
+                t_valid = _ceil_div_lens(t_valid, stride)
             if self.normalization == "layer_norm":
                 xs = nn.LayerNorm(name=f"norm{i+1}")(xs)
             elif self.normalization == "batch_norm":
@@ -111,6 +133,7 @@ class Conv1dBlock(nn.Module):
             xs = nn.relu(xs)
             xs = Dropout(self.dropout)(xs, deterministic=deterministic)
         if self.pooling > 1:
+            xs = _edge_fill(xs, t_valid, -1e9)
             b, t, d = xs.shape
             pad = (-t) % self.pooling
             if pad:
@@ -173,15 +196,21 @@ class ConvEncoder(nn.Module):
     @nn.compact
     def __call__(self, xs, xlens, deterministic: bool = True):
         cfg = self.cfg
+        # batch edge for bucket-padded inputs (see _edge_fill): frames at
+        # positions >= max(xlens) are treated exactly like the reference's
+        # array end so T > max(xlens) computes the same valid frames
+        t_valid = jnp.max(xlens)
         if self.conv_dim == 2:
             h = xs[..., None]  # [B, T, F, 1]
             for i, ch in enumerate(cfg.channels):
                 h = Conv2dBlock(ch, cfg.kernel_sizes[i], cfg.strides[i],
                                 cfg.poolings[i], self.normalization,
                                 self.dropout, name=f"block{i}")(
-                    h, deterministic)
+                    h, deterministic, t_valid)
                 xlens = _ceil_div_lens(
                     xlens, cfg.strides[i][0] * max(cfg.poolings[i][0], 1))
+                t_valid = _ceil_div_lens(
+                    t_valid, cfg.strides[i][0] * max(cfg.poolings[i][0], 1))
             b, t, f, c = h.shape
             h = h.reshape(b, t, f * c)
         else:
@@ -190,9 +219,13 @@ class ConvEncoder(nn.Module):
                 h = Conv1dBlock(ch, cfg.kernel_sizes[i][0], cfg.strides[i][0],
                                 cfg.poolings[i][0], self.normalization,
                                 self.dropout, name=f"block{i}")(
-                    h, deterministic)
+                    h, deterministic, t_valid)
                 xlens = _ceil_div_lens(
                     xlens, cfg.strides[i][0] * max(cfg.poolings[i][0], 1))
+                t_valid = _ceil_div_lens(
+                    t_valid, cfg.strides[i][0] * max(cfg.poolings[i][0], 1))
+        # don't let the pool's -1e9 edge fill escape into downstream blocks
+        h = _edge_fill(h, t_valid, 0.0)
         if self.bottleneck_dim > 0:
             h = nn.Dense(self.bottleneck_dim, name="bridge")(h)
         return h, xlens

@@ -319,7 +319,12 @@ class XformerEncoder(nn.Module):
         else:
             xs = self.embed(xs)
 
-        t_in = (xs.shape[0] // bs) * n_c if reshape_mode and pre_chunked \
+        # true post-conv length for the reshape-mode merge: the chunk grid
+        # rounds up to n_chunks*n_c, but the merged outputs must stop at
+        # ceil(t_raw/factor) like the reference (transformer.py:481) — the
+        # chunk-padding tail would otherwise survive into eouts and inflate
+        # every downstream consumer's tmax
+        t_in = -(-t_raw // factor) if reshape_mode and pre_chunked \
             else xs.shape[1]
         if reshape_mode and not pre_chunked:
             # [B, T, D] -> [B*n_chunks, N_l+N_c+N_r, D]; no mask in chunks
@@ -332,6 +337,11 @@ class XformerEncoder(nn.Module):
             pad_mask = None
         else:
             pad_mask = make_pad_mask(xlens, xs.shape[1])
+        # batch edge for the conformer conv (see ConformerConvBlock): a [T]
+        # bool, position < max(xlens) — hoisted here so the layer scan body
+        # doesn't re-reduce over the (possibly DP-sharded) batch per layer
+        conv_edge = pad_mask.any(axis=0) if pad_mask is not None else None
+        if not reshape_mode:
             if streaming:  # `mask` mode
                 mask = make_chunkwise_san_mask(pad_mask, n_l, n_c, n_r)
             elif self.unidirectional:
@@ -359,12 +369,12 @@ class XformerEncoder(nn.Module):
                           and not reshape_mode) else None
         for group in self._layer_groups():
             if use_scan and len(group) >= 2:
-                h = self._scan_group(group, h, mask, pad_mask,
+                h = self._scan_group(group, h, mask, conv_edge,
                                      deterministic, klens)
             else:
                 for lth in group:
                     h, _, aws = self.blocks[lth](
-                        h, mask, pad_mask, None, None, deterministic,
+                        h, mask, conv_edge, None, None, deterministic,
                         return_weights, None, klens)
                     if return_weights:
                         aws_all.append(aws)
@@ -376,7 +386,7 @@ class XformerEncoder(nn.Module):
                     h_sub = h
                     if self.task_specific_layer:
                         h_sub, _, _ = getattr(self, f"block_{sub}_tsl")(
-                            h_sub, mask, pad_mask,
+                            h_sub, mask, conv_edge,
                             deterministic=deterministic)
                     h_sub = getattr(self, f"norm_out_{sub}")(h_sub)
                     if self.last_proj_dim > 0:
@@ -392,6 +402,7 @@ class XformerEncoder(nn.Module):
                 assert not streaming, "interlayer subsample + streaming modes"
                 h, xlens = self.subsamplers[lth](h, xlens)
                 pad_mask = make_pad_mask(xlens, h.shape[1])
+                conv_edge = pad_mask.any(axis=0)
                 if self.unidirectional:
                     mask = make_san_mask(pad_mask) & causal_mask(
                         h.shape[1], h.shape[1])[None]

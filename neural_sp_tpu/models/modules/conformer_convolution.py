@@ -25,21 +25,33 @@ class ConformerConvBlock(nn.Module):
                  deterministic: bool = True, cur_len: int | None = None):
         """xs: [B, T, D]. Returns (out, cache).
 
-        ``pad_mask`` is accepted for API stability but intentionally
-        UNUSED: the reference conv module (conformer_convolution.py:80-129,
-        called unmasked from conformer_block.py:168) lets pad frames mix
-        into valid frames near the boundary, and zeroing them here breaks
-        converted-weight parity (tests/test_parity_pipeline.py).
+        ``pad_mask`` is NOT used for per-utterance masking: the reference
+        conv module (conformer_convolution.py:80-129, called unmasked from
+        conformer_block.py:168) lets pad frames mix into valid frames near
+        each utterance's boundary, and zeroing them here breaks
+        converted-weight parity (tests/test_parity_pipeline.py). It IS used
+        for the BATCH edge: the reference's arrays end at max(xlens), so
+        its SAME padding feeds zeros into the depthwise conv there; under
+        bucketed fixed-shape batches (sampler shape grid) our arrays extend
+        past max(xlens), and without zeroing, conv-bias garbage in that
+        tail would leak into the longest utterance's last valid frames —
+        positions >= max(xlens) are therefore zeroed pre-conv, which is a
+        no-op whenever T == max(xlens).
 
         ``cur_len``: in streaming, only the first cur_len frames of ``xs``
         are the committed current region — the returned cache is the tail of
         [conv_cache; xs[:cur_len]] so lookahead frames never pollute it.
         """
-        del pad_mask
         h = nn.Dense(2 * self.d_model, name="pointwise1",
                      param_dtype=self.param_dtype)(xs)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
+        if pad_mask is not None and pad_mask.shape[-1] == h.shape[1]:
+            # accepts either the precomputed [T] batch edge (encoders hoist
+            # the reduction out of their layer scan — it would otherwise be
+            # a tiny per-layer cross-DP collective) or a [B, T] pad mask
+            edge = pad_mask if pad_mask.ndim == 1 else pad_mask.any(axis=0)
+            h = jnp.where(edge[None, :, None], h, 0.0)
 
         k = self.kernel_size
         if self.causal:

@@ -154,3 +154,49 @@ def test_native_loader_matches_python_loader(corpus):
     np.testing.assert_array_equal(b_native["xs"], b_py["xs"])
     np.testing.assert_array_equal(b_native["ys"], b_py["ys"])
     np.testing.assert_array_equal(b_native["xlens"], b_py["xlens"])
+
+
+def test_padded_area_shape_grid_bounds():
+    """VERDICT r4 #8: on a realistic length distribution the padded-area
+    shape grid must keep the compiled-shape set small and must not
+    proliferate sub-grid_b tail buckets (bs 1-3 batches recompile XLA for
+    marginal work)."""
+    import pandas as pd
+    from neural_sp_tpu.datasets.asr.sampler import _round_up
+
+    rng = np.random.default_rng(7)
+    # log-normal-ish speech length mix, 1-30 s at 10 ms frames, like
+    # librispeech train-960's spread
+    xlens = np.clip((np.exp(rng.normal(6.9, 0.55, 4000))).astype(int),
+                    100, 3000)
+    df = pd.DataFrame({"xlen": np.sort(xlens),
+                       "ylen": np.maximum(xlens // 30, 1),
+                       "utt_id": [f"u{i}" for i in range(len(xlens))]})
+    grid_t, budget, grid_b = 128, 96000, 4
+    batches = make_batches(df, batch_size=budget, batch_size_type="frame",
+                           bucketing="sort", shape_grid_t=grid_t)
+    assert sum(len(b) for b in batches) == len(df)
+
+    shapes = set()
+    small = 0
+    for b in batches:
+        lens = df["xlen"].iloc[b]
+        t_pad = _round_up(int(lens.max()), grid_t)
+        shapes.add((len(b), t_pad))
+        if len(b) < grid_b:
+            # sub-grid batches are legal only when the budget itself caps
+            # bs below grid_b (very long utterances), or at the sorted tail
+            assert (len(b) + 1) * t_pad > budget or b[-1] == len(df) - 1, \
+                (len(b), t_pad)
+            small += 1
+        if len(b) > 1:  # a single oversize utt may exceed the budget alone
+            assert len(b) * t_pad <= budget
+    # compiled-shape set ~ one bs per distinct t_pad (+boundary wobble),
+    # far below the batch count
+    n_tpad = len({t for _, t in shapes})
+    assert len(shapes) <= 2 * n_tpad + 2, (len(shapes), n_tpad)
+    assert len(shapes) <= 40
+    assert small <= 1 + sum(
+        1 for b in batches
+        if (len(b) + 1) * _round_up(int(df["xlen"].iloc[b].max()),
+                                    grid_t) > budget)

@@ -68,6 +68,7 @@ def test_ensemble_decoding():
     assert len(hyps) == 1
 
 
+@pytest.mark.slow  # moved out of the fast lane (VERDICT r4 #9)
 def test_fwd_bwd_merge_and_second_pass():
     model, params, xs, xlens = _model(bwd_weight=0.3)
     sess = Speech2TextSession(

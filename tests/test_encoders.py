@@ -193,3 +193,81 @@ def test_build_encoder_dispatch():
         out = enc.apply(v, xs, xlens)
         eouts = out[0] if isinstance(out, tuple) else out
         assert np.isfinite(np.asarray(eouts["ys"]["xs"])).all(), enc_type
+
+
+# --------------------------------------------------------------------- #
+# Bucket-pad invariance (VERDICT r4 / ADVICE r4): under the sampler's
+# padded-area shape grid, batches are padded BEYOND max(xlens). The batch
+# edge must behave exactly like the reference's array end (which stops at
+# max(xlens)): valid frames computed from a bucket-padded batch must match
+# the packed batch — through the conv frontend's unmasked conv/ceil-pool
+# and the conformer block's intentionally-unmasked depthwise conv.
+# --------------------------------------------------------------------- #
+def _pad_t(xs, extra):
+    return jnp.pad(xs, ((0, 0), (0, extra), (0, 0)))
+
+
+def test_conv_encoder_bucket_pad_invariance():
+    xs, xlens = _x(t=63)  # odd length: exercises the straddling pool window
+    enc = ConvEncoder(input_dim=20, channels="8_8", poolings="(2,2)_(2,2)")
+    v = enc.init(RNG, xs, xlens)
+    ys, ylens = enc.apply(v, xs, xlens)
+    ys2, ylens2 = enc.apply(v, _pad_t(xs, 33), xlens)
+    t_out = ys.shape[1]
+    np.testing.assert_allclose(np.asarray(ys2[:, :t_out]), np.asarray(ys),
+                               rtol=1e-6, atol=1e-6)
+    assert (np.asarray(ylens2) == np.asarray(ylens)).all()
+
+
+def test_conformer_encoder_bucket_pad_invariance():
+    xs, xlens = _x(t=63)
+    enc = XformerEncoder(input_dim=20, btype="conformer", d_model=16, d_ff=32,
+                         n_heads=2, n_layers=2, pe_type="relative",
+                         conv_kernel_size=7, conv_channels="4_4",
+                         conv_kernel_sizes="(3,3)_(3,3)",
+                         conv_poolings="(2,2)_(2,2)")
+    v = enc.init(RNG, xs, xlens)
+    e1 = enc.apply(v, xs, xlens)["ys"]
+    e2 = enc.apply(v, _pad_t(xs, 33), xlens)["ys"]
+    t_out = e1["xs"].shape[1]
+    # only frames valid for SOME utterance are comparable; beyond each
+    # utterance's own length the reference leaks pad deliberately, but that
+    # leak must be identical in both batches
+    np.testing.assert_allclose(np.asarray(e2["xs"][:, :t_out]),
+                               np.asarray(e1["xs"]), rtol=2e-5, atol=2e-5)
+    assert (np.asarray(e2["xlens"]) == np.asarray(e1["xlens"])).all()
+
+
+def test_mask_mode_chunked_bucket_pad_invariance():
+    xs, xlens = _x(t=63)
+    enc = XformerEncoder(input_dim=20, btype="conformer", d_model=16,
+                         d_ff=32, n_heads=2, n_layers=2, pe_type="relative",
+                         conv_kernel_size=7, conv_channels="4_4",
+                         conv_kernel_sizes="(3,3)_(3,3)",
+                         conv_poolings="(2,2)_(2,2)",
+                         chunk_size_left=16, chunk_size_current=16,
+                         chunk_size_right=0, streaming_type="mask")
+    v = enc.init(RNG, xs, xlens)
+    e1 = enc.apply(v, xs, xlens)["ys"]
+    e2 = enc.apply(v, _pad_t(xs, 33), xlens)["ys"]
+    t1 = int(np.asarray(e1["xlens"]).max())
+    np.testing.assert_allclose(np.asarray(e2["xs"][:, :t1]),
+                               np.asarray(e1["xs"][:, :t1]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_reshape_mode_prechunked_output_len():
+    """ADVICE r4: reshape-mode pre-chunked outputs must stop at the true
+    post-conv length ceil(t_raw/factor), not the chunk multiple."""
+    xs, xlens = _x(t=63)
+    enc = XformerEncoder(input_dim=20, btype="conformer", d_model=16,
+                         d_ff=32, n_heads=2, n_layers=2, pe_type="relative",
+                         conv_kernel_size=7, conv_channels="4_4",
+                         conv_kernel_sizes="(3,3)_(3,3)",
+                         conv_poolings="(2,2)_(2,2)",
+                         chunk_size_left=16, chunk_size_current=16,
+                         chunk_size_right=16, streaming_type="reshape")
+    v = enc.init(RNG, xs, xlens)
+    e = enc.apply(v, xs, xlens)["ys"]
+    assert e["xs"].shape[1] == -(-63 // 4)
+    assert int(np.asarray(e["xlens"]).max()) <= e["xs"].shape[1]

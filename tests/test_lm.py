@@ -203,6 +203,7 @@ def test_cold_fusion_training_and_graft():
     assert all(float(jnp.abs(x).max()) == 0.0 for x in lm_grads)
 
 
+@pytest.mark.slow  # moved out of the fast lane (VERDICT r4 #9)
 def test_adaptive_softmax_lm():
     lm = RNNLM(vocab=VOCAB, n_units=16, n_layers=1, emb_dim=16,
                adaptive_softmax=True, adaptive_softmax_cutoffs=(8,))

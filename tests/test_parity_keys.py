@@ -44,6 +44,7 @@ def train_grad(args):
     return model, v
 
 
+@pytest.mark.slow  # moved out of the fast lane (VERDICT r4 #9)
 def test_attn_n_heads_multihead_add():
     model, v = train_grad(base_args(attn_type="add", attn_n_heads=4))
     flat = jax.tree_util.tree_flatten_with_path(v)[0]
@@ -57,6 +58,7 @@ def test_attn_n_heads_requires_add():
         train_grad(base_args(attn_type="location", attn_n_heads=4))
 
 
+@pytest.mark.slow  # moved out of the fast lane (VERDICT r4 #9)
 @pytest.mark.parametrize("share", [False, True])
 def test_share_chunkwise_attention_mocha(share):
     args = base_args(attn_type="mocha", mocha_chunk_size=2,

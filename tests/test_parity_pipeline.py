@@ -287,10 +287,13 @@ def test_full_pipeline_beam_parity():
                      ilm_weight=0.1, n_best=4),
         lm_session=LMSession(lm, lm_params))
 
+    # encode the whole batch once like the reference does (its beam gets the
+    # BATCH-encoded eouts — the per-utterance pad leak through the unmasked
+    # convs is part of what must match), then beam per utterance
+    e = sess.encode(xs, np.asarray(xlens))
     for b in range(BS):
-        e = sess.encode(xs[b:b + 1], np.asarray(xlens[b:b + 1]))
-        eb = e["ys"]["xs"]
-        elb = e["ys"]["xlens"]
+        eb = e["ys"]["xs"][b:b + 1]
+        elb = e["ys"]["xlens"][b:b + 1]
         _, nbest = sess._beam_one_las(eb, elb)
         scores_att = sess._last_nbest_scores_att
         want_hyps = []

@@ -33,6 +33,12 @@ VARIANTS = {
     # rematerialization: recompute encoder-block internals in the backward
     "remat":      {"NSP_ENC_REMAT": "1"},
     "remat_dots": {"NSP_ENC_REMAT": "1", "NSP_ENC_REMAT_POLICY": "dots"},
+    "remat_nothing": {"NSP_ENC_REMAT": "1",
+                      "NSP_ENC_REMAT_POLICY": "nothing"},
+    "remat+scan": {"NSP_ENC_REMAT": "1", "NSP_SCAN_LAYERS": "1"},
+    "remat_dots+scan": {"NSP_ENC_REMAT": "1",
+                        "NSP_ENC_REMAT_POLICY": "dots",
+                        "NSP_SCAN_LAYERS": "1"},
     # fused Pallas rel-attention (scores+bias+softmax+ctx in VMEM)
     "pallas":       {"NSP_PALLAS_ATTN": "1"},
     "pallas+scan":  {"NSP_PALLAS_ATTN": "1", "NSP_SCAN_LAYERS": "1"},
@@ -47,7 +53,9 @@ def main():
     names = sys.argv[1:] or list(VARIANTS)
     _preflight()
     args = flagship_args()
-    bs, t, u = 16, 1500, 100
+    # bs from env (VERDICT r4 #2: run the sweep at the bs-64 microbatch)
+    bs = int(os.environ.get("NSP_AB_BS", "16"))
+    t, u = 1500, 100
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
     xlens = jnp.full((bs,), t, jnp.int32)
@@ -60,14 +68,18 @@ def main():
                 "NSP_DEC_UNROLL": "1", "NSP_CTC_UNROLL": "1",
                 "NSP_ENC_REMAT": "0", "NSP_ENC_REMAT_POLICY": "",
                 "NSP_PALLAS_ATTN": "0"}
+    # ONE shared params/opt_state: the variants only toggle compute-path
+    # env knobs, the param tree is identical — sharing keeps bs-64 runs
+    # inside HBM with several variants resident
+    model0 = build_speech2text(args)
+    v0 = model0.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
+    p, o = v0["params"], tx.init(v0["params"])
     for name in names:
         env = dict(defaults)
         env.update(VARIANTS[name])
         for k, v in env.items():
             os.environ[k] = v
         model = build_speech2text(args)
-        v0 = model.init(jax.random.PRNGKey(0), xs, xlens, ys, ylens)
-        p, o = v0["params"], tx.init(v0["params"])
         step = make_train_step(model, tx, mesh=None, donate=False,
                                compute_dtype=jnp.bfloat16)
         t0 = time.perf_counter()
@@ -75,12 +87,12 @@ def main():
         force(met)
         print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s "
               f"loss={met['loss']:.3f}", flush=True)
-        runs[name] = (step, p, o)
+        runs[name] = step
     best = {n: float("inf") for n in names}
     key = jax.random.PRNGKey(2)
     for w in range(4):
         for name in names:
-            step, p, o = runs[name]
+            step = runs[name]
             t0 = time.perf_counter()
             for i in range(12):
                 _, _, met = step(p, o, jax.random.fold_in(key, w * 100 + i),

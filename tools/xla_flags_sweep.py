@@ -37,7 +37,9 @@ def child(name: str):
 
     _preflight()
     args = flagship_args()
-    bs, t, u = 16, 1500, 100
+    # bs from env (VERDICT r4 #2: sweep at the bs-64 production microbatch)
+    bs = int(os.environ.get("NSP_AB_BS", "16"))
+    t, u = 1500, 100
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
     xlens = jnp.full((bs,), t, jnp.int32)
