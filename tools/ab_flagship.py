@@ -83,11 +83,19 @@ def main():
         step = make_train_step(model, tx, mesh=None, donate=False,
                                compute_dtype=jnp.bfloat16)
         t0 = time.perf_counter()
-        _, _, met = step(p, o, jax.random.PRNGKey(1), xs, xlens, ys, ylens)
-        force(met)
+        try:
+            _, _, met = step(p, o, jax.random.PRNGKey(1), xs, xlens, ys,
+                             ylens)
+            force(met)
+        except Exception as e:  # e.g. HBM OOM at this bs — skip, keep going
+            msg = str(e).split("\n")[0][:200]
+            print(f"[{name}] FAILED after {time.perf_counter()-t0:.0f}s: "
+                  f"{msg}", flush=True)
+            continue
         print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s "
               f"loss={met['loss']:.3f}", flush=True)
         runs[name] = step
+    names = [n for n in names if n in runs]
     best = {n: float("inf") for n in names}
     key = jax.random.PRNGKey(2)
     for w in range(4):

@@ -57,8 +57,14 @@ def main():
 
             step = jax.jit(jax.grad(loss_fn))
             t0 = time.perf_counter()
-            g = step(params)
-            float(jnp.ravel(jax.tree.leaves(g)[0])[0])
+            try:
+                g = step(params)
+                float(jnp.ravel(jax.tree.leaves(g)[0])[0])
+            except Exception as e:  # e.g. HBM/VMEM OOM at this T — skip
+                msg = str(e).split("\n")[0][:200]
+                print(f"[T={T} bs={bs} {name}] FAILED after "
+                      f"{time.perf_counter()-t0:.0f}s: {msg}", flush=True)
+                continue
             print(f"[T={T} bs={bs} {name}] compiled in "
                   f"{time.perf_counter()-t0:.0f}s", flush=True)
             steps[name] = step
@@ -76,7 +82,7 @@ def main():
         results[T] = best
     print("--- summary ---")
     for T, best in results.items():
-        base = best["base"]
+        base = best.get("base", float("nan"))
         for name, dt in best.items():
             print(f"T={T} {name}: {dt*1e3:.2f} ms ({base/dt:.2f}x vs base)",
                   flush=True)
