@@ -73,8 +73,8 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, xs, mask=None, pad_mask=None, cache=None,
                  conv_cache=None, deterministic: bool = True,
-                 return_weights: bool = False, conv_cur_len: int | None = None,
-                 klens=None):
+                 return_weights: bool = False,
+                 conv_cur_len: int | None = None):
         new_caches = {}
         is_conf = self.btype.startswith("conformer")
         fx = 0.5 if is_conf else 1.0
@@ -115,7 +115,7 @@ class EncoderBlock(nn.Module):
         if use_rel:
             h, kv, aws = mha(h, mask=mask, cache=cache,
                              deterministic=deterministic,
-                             return_weights=return_weights, klens=klens)
+                             return_weights=return_weights)
         else:
             h, kv, aws = mha(h, h, h, mask=mask, cache=cache,
                              deterministic=deterministic,
@@ -363,19 +363,15 @@ class XformerEncoder(nn.Module):
         # weights (per-layer outputs), and with LayerDrop (per-depth prob).
         use_scan = (self.scan_layers and not self.is_initializing()
                     and not return_weights and self.dropout_layer == 0.0)
-        # key-padding lengths for the fused rel-attention kernel: only valid
-        # when the mask is pure key-padding (bidirectional, non-chunked)
-        klens = xlens if (not streaming and not self.unidirectional
-                          and not reshape_mode) else None
         for group in self._layer_groups():
             if use_scan and len(group) >= 2:
                 h = self._scan_group(group, h, mask, conv_edge,
-                                     deterministic, klens)
+                                     deterministic)
             else:
                 for lth in group:
                     h, _, aws = self.blocks[lth](
                         h, mask, conv_edge, None, None, deterministic,
-                        return_weights, None, klens)
+                        return_weights, None)
                     if return_weights:
                         aws_all.append(aws)
             lth = group[-1]
@@ -436,8 +432,7 @@ class XformerEncoder(nn.Module):
             groups.append(cur)
         return groups
 
-    def _scan_group(self, group, h, mask, pad_mask, deterministic,
-                    klens=None):
+    def _scan_group(self, group, h, mask, pad_mask, deterministic):
         """Run a uniform run of blocks as ONE lax.scan body over their
         stacked per-layer params (stacking is a pointer-shuffle copy, tiny
         next to the attention/FFN traffic it amortises)."""
@@ -465,7 +460,7 @@ class XformerEncoder(nn.Module):
             p_l, k_l = xs_l
             out, _, _ = block.apply(
                 {"params": p_l}, carry, mask, pad_mask, None, None,
-                deterministic, False, None, klens,
+                deterministic, False, None,
                 rngs={"dropout": k_l} if need_rng else None)
             return out, None
 

@@ -60,8 +60,7 @@ class RelativeMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key=None, value=None, mask=None, cache=None,
-                 deterministic: bool = True, return_weights: bool = False,
-                 klens=None):
+                 deterministic: bool = True, return_weights: bool = False):
         h = self.n_heads
         dk = self.d_model // h
         bs, tq, _ = query.shape
@@ -98,17 +97,16 @@ class RelativeMultiheadAttention(nn.Module):
             q_bd = q
             w_rel = w_value
 
-        use_pallas = (
-            self._use_pallas(cache, deterministic, return_weights)
-            and klens is not None and 0 < self.clamp_len < klen - 1
-            and tq == klen)
-        use_flash = (not use_pallas
-                     and self._use_flash(cache, deterministic,
-                                         return_weights))
-        if not (use_flash or use_pallas):
-            # content term ([B,H,T,T] — the fused kernels compute q.k
-            # in-VMEM instead, so skip materializing it there)
-            ac = jnp.einsum("bqhd,bkhd->bhqk", q_ac, k)
+        # content term ([B,H,T,T]). Two fused Pallas alternatives (a flash
+        # kernel and a VMEM-resident rel-attention kernel) were built,
+        # A/B-measured on chip, and DELETED: the flash path lost at every
+        # length (flagship T=375/188: +18 ms/step r3; unsubsampled T=1024/
+        # 2048/3072: 0.51-0.59x of XLA's fused materialized path, r5
+        # tools/ab_longT.py) because the rel-PE bias still materializes
+        # [B,H,T,T] f32 as the kernel's `ab` input; the rel-attention
+        # kernel was throughput-neutral at flagship lengths and failed to
+        # compile at T>=1024. See ROADMAP r5.
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_ac, k)
 
         # position term. NEVER a gather here: TPU gathers (and the scatter
         # in their transpose) run on the scalar unit and serialise the
@@ -126,25 +124,6 @@ class RelativeMultiheadAttention(nn.Module):
                 _signed_rel_table(c + 1, self.d_model, c)[c:], q.dtype)
             r = w_rel(rel).reshape(c + 1, h, dk)       # [c+1, H, dk]
             bd_all = jnp.einsum("bqhd,rhd->bhqr", q_bd, r)
-            if use_pallas:
-                # fused VMEM-resident kernel: scores + Toeplitz rel-bias +
-                # f32 softmax + context never touch HBM (see
-                # ops/rel_attention_pallas.py). The 1/sqrt(dk) scale folds
-                # into q AND the bias table (both terms of e carry it).
-                from ...ops.rel_attention_pallas import rel_attention
-                scale = jnp.asarray(1.0 / np.sqrt(dk), q.dtype)
-                o = rel_attention(
-                    jnp.transpose(q_ac * scale, (0, 2, 1, 3)),
-                    jnp.transpose(k, (0, 2, 1, 3)),
-                    jnp.transpose(v, (0, 2, 1, 3)),
-                    bd_all * scale.astype(bd_all.dtype),
-                    klens)
-                ctx = jnp.transpose(o, (0, 2, 1, 3)).reshape(
-                    bs, tq, self.d_model)
-                out = nn.Dense(self.d_model, use_bias=self.bias,
-                               name="w_out",
-                               param_dtype=self.param_dtype)(ctx)
-                return out, new_cache, None
             qi = lax.broadcasted_iota(jnp.int32, (tq, klen), 0) + (klen - tq)
             kj = lax.broadcasted_iota(jnp.int32, (tq, klen), 1)
             idx = jnp.minimum(jnp.abs(qi - kj), c)
@@ -167,43 +146,6 @@ class RelativeMultiheadAttention(nn.Module):
             skew = flat.reshape(bs, h, tq, nrel + 1)
             bd = skew[..., off: off + klen][..., ::-1]
 
-        if use_flash:
-            # Pallas flash attention: the [B,H,T,T] scores + f32 softmax
-            # never hit HBM — the rel-PE term and the padding mask fold
-            # into the additive bias `ab` (still materialized once, but
-            # read-only; the f32 score/softmax round-trips disappear).
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention)
-            # e = (ac + bd)/sqrt(dk): BOTH terms carry the scale
-            ab = bd.astype(jnp.float32) / float(np.sqrt(dk))
-            if mask is not None:
-                m = mask
-                if m.ndim == 2:
-                    m = m[:, None, None, :]
-                elif m.ndim == 3:
-                    m = m[:, None]
-                ab = jnp.where(m, ab, -1e9)
-            pad_t = (-tq) % 128
-            # fold the 1/sqrt(dk) scale into q: the kernel's dab VJP is
-            # scaled by sm_scale (measured), so pass sm_scale=1.0
-            scale = jnp.asarray(1.0 / np.sqrt(dk), q_ac.dtype)
-            qf = jnp.transpose(q_ac * scale, (0, 2, 1, 3))  # [B, H, T, dk]
-            kf = jnp.transpose(k, (0, 2, 1, 3))
-            vf = jnp.transpose(v, (0, 2, 1, 3))
-            if pad_t:
-                pt = ((0, 0), (0, 0), (0, pad_t), (0, 0))
-                qf = jnp.pad(qf, pt)
-                kf = jnp.pad(kf, pt)
-                vf = jnp.pad(vf, pt)
-                ab = jnp.pad(ab, ((0, 0), (0, 0), (0, pad_t), (0, pad_t)),
-                             constant_values=-1e9)
-            o = flash_attention(qf, kf, vf, ab=ab, sm_scale=1.0)
-            ctx = jnp.transpose(o[:, :, :tq], (0, 2, 1, 3)).reshape(
-                bs, tq, self.d_model)
-            out = nn.Dense(self.d_model, use_bias=self.bias, name="w_out",
-                           param_dtype=self.param_dtype)(ctx)
-            return out, new_cache, None
-
         e = (ac + bd) / jnp.sqrt(jnp.asarray(dk, q.dtype))
         if mask is not None:
             if mask.ndim == 2:
@@ -221,48 +163,3 @@ class RelativeMultiheadAttention(nn.Module):
         if return_weights:
             return out, new_cache, aws
         return out, new_cache, None
-
-    def _use_pallas(self, cache, deterministic: bool,
-                    return_weights: bool) -> bool:
-        """Fused rel-attention kernel gate (``NSP_PALLAS_ATTN=1``; or
-        ``interpret`` for CPU tests): clamped self-attention without
-        caches/weights, no attention-weight dropout/headdrop (flagship
-        sets dropout_att 0)."""
-        import os
-        flag = os.environ.get("NSP_PALLAS_ATTN", "0")
-        if flag == "0":
-            return False
-        if cache is not None or return_weights:
-            return False
-        if not deterministic and (self.dropout > 0 or self.dropout_head > 0):
-            return False
-        if flag == "interpret":
-            return True
-        try:
-            return jax.default_backend() == "tpu"
-        except Exception:
-            return False
-
-    def _use_flash(self, cache, deterministic: bool,
-                   return_weights: bool) -> bool:
-        """Flash path (opt-in, ``NSP_FLASH=1``): self-attention without
-        caches/weights on TPU, and only when no attention-weight
-        dropout/headdrop would apply (the flagship conf sets dropout_att
-        0.0). Opt-in because at the flagship's post-subsample lengths
-        (T=375/188) the Pallas kernel MEASURES SLOWER than XLA's fused
-        materialized path (+18 ms/step, tools/ab_flagship.py r3) — the
-        rel-PE bias still materializes [B,H,T,T] f32 as the kernel's ``ab``
-        input, and at short T the kernel overhead beats the saved softmax
-        traffic. Revisit for long-sequence work (LM BPTT, unsubsampled
-        encoders)."""
-        import os
-        if os.environ.get("NSP_FLASH") != "1":
-            return False
-        if cache is not None or return_weights:
-            return False
-        if not deterministic and (self.dropout > 0 or self.dropout_head > 0):
-            return False
-        try:
-            return jax.default_backend() == "tpu"
-        except Exception:
-            return False

@@ -1,7 +1,7 @@
 """Same-process A/B of flagship train-step variants (fair: one worker).
 
 Usage: python tools/ab_flagship.py [variant ...]
-Variants: base flash scan flash+scan  (env toggles read at trace time).
+Variants: see VARIANTS (env toggles read at trace time).
 Times each compiled step interleaved over several rounds so tunnel drift
 hits all variants equally.
 """
@@ -17,20 +17,16 @@ from neural_sp_tpu.trainers.optimizer import build_optimizer
 from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
 
 VARIANTS = {
-    "base":       {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "0"},
-    "flash":      {"NSP_FLASH": "1", "NSP_SCAN_LAYERS": "0"},
-    "scan":       {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "1"},
-    "flash+scan": {"NSP_FLASH": "1", "NSP_SCAN_LAYERS": "1"},
+    "base":       {"NSP_SCAN_LAYERS": "0"},
+    "scan":       {"NSP_SCAN_LAYERS": "1"},
     # scan-unroll knobs (read at build time)
-    "dec_u4":     {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "0",
-                   "NSP_DEC_UNROLL": "4"},
-    "dec_u8":     {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "0",
-                   "NSP_DEC_UNROLL": "8"},
-    "ctc_u8":     {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "0",
-                   "NSP_CTC_UNROLL": "8"},
-    "u_all":      {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "0",
-                   "NSP_DEC_UNROLL": "8", "NSP_CTC_UNROLL": "8"},
+    "dec_u4":     {"NSP_DEC_UNROLL": "4"},
+    "dec_u8":     {"NSP_DEC_UNROLL": "8"},
+    "ctc_u8":     {"NSP_CTC_UNROLL": "8"},
+    "u_all":      {"NSP_DEC_UNROLL": "8", "NSP_CTC_UNROLL": "8"},
     # rematerialization: recompute encoder-block internals in the backward
+    # (r5 on-chip sweep: ALL remat variants lose to base at bs-64 — see
+    # ROADMAP r5; kept for re-measurement on future chips)
     "remat":      {"NSP_ENC_REMAT": "1"},
     "remat_dots": {"NSP_ENC_REMAT": "1", "NSP_ENC_REMAT_POLICY": "dots"},
     "remat_nothing": {"NSP_ENC_REMAT": "1",
@@ -39,9 +35,6 @@ VARIANTS = {
     "remat_dots+scan": {"NSP_ENC_REMAT": "1",
                         "NSP_ENC_REMAT_POLICY": "dots",
                         "NSP_SCAN_LAYERS": "1"},
-    # fused Pallas rel-attention (scores+bias+softmax+ctx in VMEM)
-    "pallas":       {"NSP_PALLAS_ATTN": "1"},
-    "pallas+scan":  {"NSP_PALLAS_ATTN": "1", "NSP_SCAN_LAYERS": "1"},
 }
 
 
@@ -64,10 +57,9 @@ def main():
     tx = build_optimizer("noam", schedule=noam_schedule(512, 25000, 5.0),
                          clip_grad_norm=5.0)
     runs = {}
-    defaults = {"NSP_FLASH": "0", "NSP_SCAN_LAYERS": "0",
+    defaults = {"NSP_SCAN_LAYERS": "0",
                 "NSP_DEC_UNROLL": "1", "NSP_CTC_UNROLL": "1",
-                "NSP_ENC_REMAT": "0", "NSP_ENC_REMAT_POLICY": "",
-                "NSP_PALLAS_ATTN": "0"}
+                "NSP_ENC_REMAT": "0", "NSP_ENC_REMAT_POLICY": ""}
     # ONE shared params/opt_state: the variants only toggle compute-path
     # env knobs, the param tree is identical — sharing keeps bs-64 runs
     # inside HBM with several variants resident

@@ -34,12 +34,7 @@ MODES = {
                                    "_".join(["1"] * 12))),
     # half batch: dispatch/latency floor vs linear-in-B work
     "bs8": lambda a: None,
-    # fused rel-attention kernel (scores+bias+softmax+ctx in VMEM)
-    "pallas": lambda a: None,
-    "h1_pallas": lambda a: setattr(a, "transformer_n_heads", 1),
 }
-ENV = {"pallas": {"NSP_PALLAS_ATTN": "1"},
-       "h1_pallas": {"NSP_PALLAS_ATTN": "1"}}
 
 
 def main():
@@ -48,8 +43,6 @@ def main():
     _preflight()
     runs = {}
     for name in names:
-        for k in ("NSP_PALLAS_ATTN",):
-            os.environ[k] = ENV.get(name, {}).get(k, "0")
         args = flagship_args()
         MODES[name](args)
         args.ctc_weight = 1.0  # no LAS decoder built

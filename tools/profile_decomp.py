@@ -29,7 +29,7 @@ from neural_sp_tpu.parallel.mesh import make_train_step, cast_floating
 from neural_sp_tpu.trainers.optimizer import build_optimizer
 from neural_sp_tpu.trainers.lr_scheduler import noam_schedule
 
-BS, T, U = 16, 1500, 100
+BS, T, U = int(os.environ.get("NSP_AB_BS", "16")), 1500, 100
 
 
 def force(tree):
