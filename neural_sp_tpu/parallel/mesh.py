@@ -196,9 +196,23 @@ def make_train_step(model, tx, mesh: Mesh | None = None,
             return loss.astype(jnp.float32), scalars
         (loss, scalars), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
+        new_updates, new_opt_state = tx.update(grads, opt_state, params)
+        if hasattr(opt_state, "mini_step"):
+            # gradient-accumulation state (efficient_multi_steps or
+            # optax.MultiSteps): updates are all-zero on non-emit
+            # microsteps, so cond the apply and skip the read+write pass
+            # over every parameter on those steps
+            emit = new_opt_state.gradient_step > opt_state.gradient_step
+            params = jax.lax.cond(
+                emit,
+                lambda p: optax.apply_updates(
+                    p, jax.tree.map(lambda u: u * lr_scale, new_updates)),
+                lambda p: p,
+                params)
+        else:
+            params = optax.apply_updates(
+                params, jax.tree.map(lambda u: u * lr_scale, new_updates))
+        opt_state = new_opt_state
         gnorm = optax.global_norm(grads)
         metrics = dict(scalars)
         metrics["grad_norm"] = gnorm
