@@ -222,10 +222,11 @@ def main():
     # frames x accum_grad_n_steps 16 = 384k frames per optimizer update.
     # The reference's 24k microbatch is its 24GB-GPU memory ceiling, not
     # semantics; gradient accumulation is linear, so any (bs, k) with
-    # bs*1500*k = 384k trains identically. The r4 on-chip sweep
+    # bs*1500*k = 384k trains identically. The on-chip sweeps
     # (tools/accum_sweep.py) measured utts/s over FULL accumulation
-    # cycles: bs8 191.9 / bs16 243.3 / bs32 271.7 / bs64 317.5 /
-    # bs128 294.7 -> the TPU-optimal microbatch is 96k frames (bs 64,
+    # cycles: r4 bs8 191.9 / bs16 243.3 / bs32 271.7 / bs64 317.5 /
+    # bs128 294.7; r5 (efficient_multi_steps) bs32 283.0 / bs64 333.0 /
+    # bs128 296.6 -> the TPU-optimal microbatch is 96k frames (bs 64,
     # accum 4); larger batches amortise dispatch + weight traffic until
     # activations blow past ~HBM-friendly sizes at bs128.
     bs, t, u, accum = 64, 1500, 100, 4

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from bench import flagship_args
+from bench import flagship_args, _preflight
 from neural_sp_tpu.models.speech2text import build_speech2text
 from neural_sp_tpu.parallel.mesh import make_train_step, cast_floating
 from neural_sp_tpu.trainers.optimizer import build_optimizer
@@ -88,6 +88,7 @@ def build(args_mod=None):
 
 
 def main():
+    _preflight()  # exit(3) on a hung compile worker so retry_run respawns
     which = sys.argv[1:] or ["full", "dedup", "enc_only", "dec_only",
                              "ctc_only", "opt_only"]
     res = {}
