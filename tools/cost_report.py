@@ -34,7 +34,7 @@ def main():
     _preflight()
     args = flagship_args()
     model = build_speech2text(args)
-    bs, t, u = 16, 1500, 100
+    bs, t, u = int(os.environ.get("NSP_AB_BS", "16")), 1500, 100
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
     xlens = jnp.full((bs,), t, jnp.int32)

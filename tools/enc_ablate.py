@@ -25,6 +25,9 @@ MODES = {
     "transformer": lambda a: setattr(a, "enc_type", "conv_transformer"),
     "dff512": lambda a: setattr(a, "transformer_d_ff", 512),
     "nodrop": lambda a: setattr(a, "dropout_enc", 0.0),
+    # depthwise conv kernel 15 -> 1: isolates the depthwise conv's
+    # (notoriously bad-backward) share; pointwise matmuls unchanged
+    "convk1": lambda a: setattr(a, "conformer_kernel_size", 1),
     # all x8 subsampling inside the conv frontend: every block at T=188
     "allconv8": lambda a: (setattr(a, "conv_channels", "32_32_32"),
                            setattr(a, "conv_kernel_sizes",
@@ -46,7 +49,8 @@ def main():
         args = flagship_args()
         MODES[name](args)
         args.ctc_weight = 1.0  # no LAS decoder built
-        bs = 8 if name == "bs8" else 16
+        bs_env = int(os.environ.get("NSP_AB_BS", "16"))
+        bs = bs_env // 2 if name == "bs8" else bs_env
         t = 1500
         rng = np.random.default_rng(0)
         xs = jnp.asarray(rng.standard_normal((bs, t, 80)), jnp.float32)
