@@ -49,6 +49,9 @@ def _parse_value(v: str):
 
 def parse_cli(argv: list[str], defaults: dict | None = None) -> SimpleNamespace:
     """--config base.yml [--config2 overlay.yml] [--key value ...]"""
+    from ..utils.compile_cache import enable_compile_cache, preflight_or_exit
+    enable_compile_cache()   # every CLI run after the first starts warm
+    preflight_or_exit()      # NSP_PREFLIGHT=1: bail out of hung workers
     conf = dict(defaults or {})
     i = 0
     pending: dict = {}
@@ -100,8 +103,6 @@ TRAIN_DEFAULTS = dict(
 
 
 def parse_args_train(argv: list[str]) -> SimpleNamespace:
-    from ..utils.compile_cache import enable_compile_cache
-    enable_compile_cache()   # every CLI run after the first starts warm
     return parse_cli(argv, TRAIN_DEFAULTS)
 
 
@@ -121,8 +122,6 @@ EVAL_DEFAULTS = dict(
 def parse_args_eval(argv: list[str]) -> SimpleNamespace:
     """Loads the training conf.yml next to --recog_model, then overlays
     recog_* flags."""
-    from ..utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
     args = parse_cli(argv, EVAL_DEFAULTS)
     model_path = getattr(args, "recog_model", None)
     if model_path:
